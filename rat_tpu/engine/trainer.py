@@ -1,0 +1,360 @@
+"""Training runtime: jit train/eval steps + the monitored fit loop.
+
+Re-design of the reference BaseModel runtime
+(fuxictr/pytorch/models/base_model.py:31-302). Control-flow parity:
+
+- loss = BCE(forward) + p-norm regularizers split embedding-vs-net by
+  parameter name (base_model.py:74-99);
+- per-step: total loss -> grads -> clip_by_global_norm(10) -> Adam
+  (base_model.py:213-230);
+- eval cadence ``every_x_epochs`` (float ok) via on_batch_end
+  (base_model.py:144-151);
+- checkpoint/early-stop/LR-plateau: monitored metric with
+  min_delta=1e-6, save-best-only, patience counted in EVALUATIONS
+  scaled by every_x_epochs, ``lr *= 0.1`` floored at 1e-6
+  (base_model.py:153-179).
+
+TPU re-design: each split's token/label/neighbor arrays are resident in
+HBM; a step receives only a [B] vector of row ids and gathers the
+(1+K)x(F+1) grid on device, so there is no per-batch host->device input
+stream. The final partial batch is padded and masked (the reference
+relies on ragged batches).
+"""
+
+import logging
+import os
+import time
+from functools import partial
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ..metrics import evaluate_metrics
+from ..models import build_model
+from ..utils import Monitor
+from .optim import (get_learning_rate, get_optimizer, regularization_loss,
+                    set_learning_rate)
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: dict
+    batch_stats: dict
+    opt_state: tuple
+    step: jnp.ndarray
+
+
+def _bce(pred, target):
+    """torch F.binary_cross_entropy parity: log terms clamped at -100."""
+    logp = jnp.maximum(jnp.log(pred), -100.0)
+    log1mp = jnp.maximum(jnp.log(1.0 - pred), -100.0)
+    return -(target * logp + (1.0 - target) * log1mp)
+
+
+def _gather_batch(data, idx):
+    """Assemble the [B, 1+K, F] grid from device-resident split arrays."""
+    Xt = data["tokens"][idx]
+    yt = data["labels"][idx]
+    if "nbr" in data:
+        nb = data["nbr"][idx]
+        Xn = data["pool_tokens"][nb]
+        yn = data["pool_labels"][nb]
+        X = jnp.concatenate([Xt[:, None, :], Xn], axis=1)
+        y = jnp.concatenate([yt[:, None], yn], axis=1)
+    else:
+        X = Xt[:, None, :]
+        y = yt[:, None]
+    return X, y
+
+
+class Trainer(object):
+    def __init__(self, feature_map, params, mesh=None):
+        """mesh: optional jax.sharding.Mesh with ('data', 'model') axes.
+        When given, the train/eval steps compile as SPMD programs: batch
+        sharded over 'data', embedding tables row-sharded over 'model'
+        (see rat_tpu.parallel.mesh)."""
+        self.mesh = mesh
+        self.feature_map = feature_map
+        self.params = params
+        self.model = build_model(feature_map, params)
+        self.model_id = params.get("model_id", params["model"])
+        self.model_dir = os.path.join(params.get("model_root", "./exps/"),
+                                      feature_map.dataset_id)
+        self.checkpoint = os.path.abspath(
+            os.path.join(self.model_dir, self.model_id + ".model"))
+        self._monitor = Monitor(kv=params.get("monitor", "AUC"))
+        self._monitor_mode = params.get("monitor_mode", "max")
+        self._patience = params.get("patience", 2)
+        self._every_x_epochs = params.get("every_x_epochs", 1)
+        self._save_best_only = params.get("save_best_only", True)
+        self._embedding_regularizer = params.get("embedding_regularizer", None)
+        self._net_regularizer = params.get("net_regularizer", None)
+        self._reduce_lr_on_plateau = params.get("reduce_lr_on_plateau", True)
+        self._validation_metrics = params.get("metrics", ["AUC", "logloss"])
+        self._verbose = params.get("verbose", 1)
+        self._learning_rate = params.get("learning_rate", 1e-3)
+        self._max_gradient_norm = params.get("max_gradient_norm", 10.)
+        self._batch_norm = params.get("batch_norm", False)
+        self._seed = params.get("seed", 2021)
+        self._rng = jax.random.PRNGKey(self._seed)
+        self.tx = get_optimizer(params.get("optimizer", "adam"),
+                                self._learning_rate, self._max_gradient_norm)
+        self.state = None
+        self._jit_train_step = None
+        self._jit_eval_step = None
+
+    # ---- state ----------------------------------------------------------
+    def init_state(self, example_X, example_y):
+        init_rng, self._rng = jax.random.split(self._rng)
+        variables = self.model.init({"params": init_rng, "dropout": init_rng},
+                                    jnp.asarray(example_X), jnp.asarray(example_y),
+                                    train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        self.state = TrainState(params=params, batch_stats=batch_stats,
+                                opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            from ..parallel import state_sharding
+            self._state_shard = state_sharding(self.state, self.mesh)
+            self.state = jax.device_put(self.state, self._state_shard)
+        return self.state
+
+    def count_parameters(self, count_embedding=True):
+        total = 0
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+                self.state.params)[0]:
+            name = ".".join(getattr(k, "key", str(k)) for k in path)
+            if not count_embedding and "embedding" in name:
+                continue
+            total += int(np.prod(leaf.shape))
+        logging.info("Total number of parameters: {}.".format(total))
+        return total
+
+    # ---- jitted steps ---------------------------------------------------
+    def _build_steps(self):
+        model = self.model
+        tx = self.tx
+        emb_reg = self._embedding_regularizer
+        net_reg = self._net_regularizer
+        has_bn = self._batch_norm
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
+            dp = NamedSharding(self.mesh, P("data"))
+            state_shard = self._state_shard
+            train_jit = partial(
+                jax.jit, donate_argnums=(0,),
+                # split arrays replicated, batch ids sharded over 'data'
+                in_shardings=(state_shard, rep, dp, rep, rep),
+                out_shardings=(state_shard, rep))
+            eval_jit = partial(jax.jit,
+                               in_shardings=(state_shard, rep, dp),
+                               out_shardings=(dp, dp))
+        else:
+            train_jit = partial(jax.jit, donate_argnums=(0,))
+            eval_jit = jax.jit
+
+        @train_jit
+        def train_step(state, data, idx, valid, rng):
+            step_rng = jax.random.fold_in(rng, state.step)
+
+            def loss_fn(params):
+                variables = {"params": params}
+                if has_bn:
+                    variables["batch_stats"] = state.batch_stats
+                X, y = _gather_batch(data, idx)
+                if has_bn:
+                    out, mutated = model.apply(variables, X, y, train=True,
+                                               rngs={"dropout": step_rng},
+                                               mutable=["batch_stats"])
+                    new_stats = mutated["batch_stats"]
+                else:
+                    out = model.apply(variables, X, y, train=True,
+                                      rngs={"dropout": step_rng})
+                    new_stats = state.batch_stats
+                pred = out["y_pred"][:, 0]
+                target = out["y_true"][:, 0]
+                mask = (jnp.arange(pred.shape[0]) < valid).astype(pred.dtype)
+                loss = jnp.sum(_bce(pred, target) * mask) / valid
+                loss = loss + regularization_loss(params, emb_reg, net_reg)
+                return loss, new_stats
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.params, updates)
+            return state.replace(params=params, batch_stats=new_stats,
+                                 opt_state=opt_state,
+                                 step=state.step + 1), loss
+
+        @eval_jit
+        def eval_step(state, data, idx):
+            variables = {"params": state.params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+            X, y = _gather_batch(data, idx)
+            out = model.apply(variables, X, y, train=False)
+            return out["y_pred"][:, 0], out["y_true"][:, 0]
+
+        self._jit_train_step = train_step
+        self._jit_eval_step = eval_step
+
+    # ---- device split upload -------------------------------------------
+    def device_split(self, gen):
+        darray = gen.darray
+        data = {
+            "tokens": jnp.asarray(darray[:, :-1].astype(np.int32)),
+            "labels": jnp.asarray(darray[:, -1].astype(np.float32)),
+        }
+        if gen.retrieval_augmented:
+            if gen.retr_lens.ndim != 1:
+                raise AssertionError(
+                    "RIM does not support label-wise retrieval-enhanced training")
+            pool = gen.pool_darray
+            data["pool_tokens"] = jnp.asarray(pool[:, :-1].astype(np.int32))
+            data["pool_labels"] = jnp.asarray(pool[:, -1].astype(np.float32))
+            data["nbr"] = jnp.asarray(gen.neighbor_gather_indices())
+        return data
+
+    # ---- fit loop -------------------------------------------------------
+    def fit(self, train_gen, validation_data=None, epochs=1, **kwargs):
+        if self.state is None:
+            k = train_gen.topk
+            F = self.feature_map.num_fields
+            self.init_state(np.zeros((2, 1 + k, F), np.int32),
+                            np.zeros((2, 1 + k), np.float32))
+        if self._jit_train_step is None:
+            self._build_steps()
+        self.valid_gen = validation_data
+        self._valid_data = self.device_split(validation_data)
+        self._train_data = self.device_split(train_gen)
+        self._best_metric = np.inf if self._monitor_mode == "min" else -np.inf
+        self._stopping_steps = 0
+        self._total_batches = 0
+        self._batches_per_epoch = len(train_gen)
+        self._every_x_batches = int(np.ceil(self._every_x_epochs *
+                                            self._batches_per_epoch))
+        self._stop_training = False
+
+        logging.info("Start training: {} batches/epoch".format(
+            self._batches_per_epoch))
+        logging.info("************ Epoch=1 start ************")
+        for epoch in range(epochs):
+            epoch_loss, examples, secs = self.train_one_epoch(train_gen, epoch)
+            logging.info("Train loss: {:.6f}".format(epoch_loss))
+            logging.info("Train throughput: {:.0f} examples/s".format(
+                examples / max(secs, 1e-9)))
+            if self._stop_training:
+                break
+            else:
+                logging.info("************ Epoch={} end ************".format(epoch + 1))
+        logging.info("Training finished.")
+
+    def train_one_epoch(self, train_gen, epoch):
+        losses = []
+        examples = 0
+        tic = time.time()
+        rng, self._rng = jax.random.split(self._rng)
+        for batch_index, (idx, valid) in enumerate(train_gen.epoch_index_batches()):
+            self.state, loss = self._jit_train_step(
+                self.state, self._train_data, jnp.asarray(idx),
+                jnp.float32(valid), rng)
+            losses.append(loss)
+            examples += valid
+            self.on_batch_end(batch_index)
+            if self._stop_training:
+                break
+        epoch_secs = time.time() - tic
+        epoch_loss = float(np.sum(jax.device_get(losses))) / self._batches_per_epoch
+        return epoch_loss, examples, epoch_secs
+
+    def on_batch_end(self, batch):
+        self._total_batches += 1
+        if (batch + 1) % self._every_x_batches == 0 or \
+                (batch + 1) % self._batches_per_epoch == 0:
+            epoch = round(float(self._total_batches) / self._batches_per_epoch, 2)
+            val_logs = self.evaluate(self.valid_gen, data=self._valid_data)
+            self.checkpoint_and_earlystop(epoch, val_logs)
+            logging.info("--- {}/{} batches finished ---".format(
+                batch + 1, self._batches_per_epoch))
+
+    def lr_decay(self, factor=0.1, min_lr=1e-6):
+        reduced_lr = max(get_learning_rate(self.state.opt_state) * factor, min_lr)
+        self.state = self.state.replace(
+            opt_state=set_learning_rate(self.state.opt_state, reduced_lr))
+        return reduced_lr
+
+    def checkpoint_and_earlystop(self, epoch, logs, min_delta=1e-6):
+        monitor_value = self._monitor.get_value(logs)
+        if (self._monitor_mode == "min" and
+                monitor_value > self._best_metric - min_delta) or \
+           (self._monitor_mode == "max" and
+                monitor_value < self._best_metric + min_delta):
+            self._stopping_steps += 1
+            logging.info("Monitor({}) STOP: {:.6f} !".format(
+                self._monitor_mode, monitor_value))
+            if self._reduce_lr_on_plateau:
+                current_lr = self.lr_decay()
+                logging.info("Reduce learning rate on plateau: {:.6f}"
+                             .format(current_lr))
+        else:
+            self._stopping_steps = 0
+            self._best_metric = monitor_value
+            if self._save_best_only:
+                logging.info("Save best model: monitor({}): {:.6f}"
+                             .format(self._monitor_mode, monitor_value))
+                self.save_weights(self.checkpoint)
+        if self._stopping_steps * self._every_x_epochs >= self._patience:
+            self._stop_training = True
+            logging.info("Early stopping at epoch={:g}".format(epoch))
+        if not self._save_best_only:
+            self.save_weights(self.checkpoint)
+
+    # ---- evaluation -----------------------------------------------------
+    def evaluate(self, data_gen, data=None):
+        if self._jit_eval_step is None:
+            self._build_steps()
+        if data is None:
+            data = self.device_split(data_gen)
+        y_pred, y_true = [], []
+        for idx, valid in data_gen.epoch_index_batches():
+            p, t = self._jit_eval_step(self.state, data, jnp.asarray(idx))
+            y_pred.append(jax.device_get(p)[:valid])
+            y_true.append(jax.device_get(t)[:valid])
+        y_pred = np.concatenate(y_pred).astype(np.float64)
+        y_true = np.concatenate(y_true).astype(np.float64)
+        return evaluate_metrics(y_true, y_pred, self._validation_metrics)
+
+    def predict(self, data_gen, data=None):
+        if self._jit_eval_step is None:
+            self._build_steps()
+        if data is None:
+            data = self.device_split(data_gen)
+        y_pred = []
+        for idx, valid in data_gen.epoch_index_batches():
+            p, _ = self._jit_eval_step(self.state, data, jnp.asarray(idx))
+            y_pred.append(jax.device_get(p)[:valid])
+        return np.concatenate(y_pred).astype(np.float64)
+
+    # ---- checkpoint IO --------------------------------------------------
+    def save_weights(self, checkpoint):
+        os.makedirs(os.path.dirname(checkpoint), exist_ok=True)
+        payload = {"params": jax.device_get(self.state.params),
+                   "batch_stats": jax.device_get(self.state.batch_stats)}
+        with open(checkpoint, "wb") as f:
+            f.write(serialization.to_bytes(payload))
+
+    def load_weights(self, checkpoint):
+        with open(checkpoint, "rb") as f:
+            payload = serialization.from_bytes(
+                {"params": jax.device_get(self.state.params),
+                 "batch_stats": jax.device_get(self.state.batch_stats)},
+                f.read())
+        self.state = self.state.replace(
+            params=jax.device_put(payload["params"]),
+            batch_stats=jax.device_put(payload["batch_stats"]))

@@ -1,0 +1,221 @@
+"""Packed embedding stack.
+
+TPU-native re-design of the reference's per-field ``nn.ModuleDict`` of
+``nn.Embedding`` tables (fuxictr/pytorch/layers/embedding.py:26-178).
+Instead of F separate lookups, all fields share ONE packed
+[total_rows, d] table with static per-field row offsets; a forward pass
+issues a single fused gather over every token column (categorical
+fields contribute one token, sequence fields ``max_len`` tokens), then
+pools sequence spans. This keeps the lookup a single large XLA gather —
+the layout that also row-shards cleanly across a device mesh
+(rat_tpu.parallel).
+
+Reference semantics preserved:
+- ``share_embedding`` fields alias the owner's rows (embedding.py:70-73);
+- padding ids embed to exact zeros and receive no gradient (torch
+  ``padding_idx`` contract) — enforced here by masking the gathered
+  vectors with ``id != padding_idx``;
+- sequence encoders MaskedAveragePooling / MaskedSumPooling
+  (layers/sequence.py:21-40); the average divides by the count of
+  non-padding tokens (the reference counts non-zero embedding entries
+  per dimension, which is equivalent unless a learned weight is exactly
+  zero);
+- numeric fields use a per-field d-vector (torch ``Linear(1, d)``);
+- pretrained tables load into their rows, optionally frozen
+  (embedding.py:123-136).
+"""
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import flax.linen as nn
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .initializers import xavier_normal
+
+
+@dataclass(frozen=True)
+class _FieldSpec:
+    name: str
+    kind: str                 # 'token' | 'seq' | 'numeric'
+    token_slots: tuple        # slot positions in the packed token matrix
+    x_cols: tuple             # column indices into the raw X matrix
+    padding_idx: int          # local padding id, or -1
+    encoder: Optional[str]    # pooling for sequences
+    frozen: bool
+    hook: bool                # pretrained-dim -> model-dim projection
+    table_dim: int
+
+
+@dataclass
+class EmbeddingSpec:
+    """Static layout compiled from a FeatureMap (host-side, hashable)."""
+    fields: List[_FieldSpec]
+    total_rows: int
+    token_cols: np.ndarray       # [T] X columns feeding the packed gather
+    token_offsets: np.ndarray    # [T] per-token table row offsets
+    token_padding: np.ndarray    # [T] local padding id or -1
+    numeric_cols: np.ndarray     # [n_num] X columns of numeric fields
+    num_fields: int
+    pretrained: Dict[str, Any] = field(default_factory=dict)
+
+    @staticmethod
+    def build(feature_map, embedding_dim, use_pretrain=True,
+              required_feature_columns=(), not_required_feature_columns=(),
+              force_dim=None):
+        """force_dim overrides every field dim (the LR one-hot trick uses 1,
+        layers/shallow.py:30)."""
+        offsets = {}
+        total_rows = 0
+        fields = []
+        token_cols, token_offsets, token_padding = [], [], []
+        numeric_cols = []
+        pretrained = {}
+        slot = 0
+        for name, spec in feature_map.feature_specs.items():
+            if required_feature_columns and name not in required_feature_columns:
+                continue
+            if name in not_required_feature_columns:
+                continue
+            ftype = spec["type"]
+            if ftype == "numeric":
+                numeric_cols.append(spec["index"])
+                fields.append(_FieldSpec(name, "numeric", (), (spec["index"],),
+                                         -1, None, False, False, embedding_dim))
+                continue
+            owner = spec.get("share_embedding", name) if use_pretrain else name
+            feat_dim = force_dim if force_dim is not None \
+                else spec.get("embedding_dim", embedding_dim)
+            if owner not in offsets:
+                offsets[owner] = total_rows
+                owner_spec = feature_map.feature_specs[owner]
+                total_rows += owner_spec["vocab_size"]
+            base = offsets[owner]
+            has_pretrained = use_pretrain and "pretrained_emb" in spec
+            hook = has_pretrained and feat_dim != embedding_dim
+            if has_pretrained:
+                pretrained[name] = {"file": spec["pretrained_emb"],
+                                    "offset": base,
+                                    "rows": feature_map.feature_specs[owner]["vocab_size"],
+                                    "freeze": spec.get("freeze_emb", True)}
+            if ftype == "categorical":
+                pad = spec.get("padding_idx", -1)
+                if pad is None:
+                    pad = -1
+                fields.append(_FieldSpec(name, "token", (slot,), (spec["index"],),
+                                         pad, None, has_pretrained and
+                                         spec.get("freeze_emb", True), hook, feat_dim))
+                token_cols.append(spec["index"])
+                token_offsets.append(base)
+                token_padding.append(pad)
+                slot += 1
+            elif ftype == "sequence":
+                pad = spec["vocab_size"] - 1
+                idxs = tuple(spec["index"])
+                slots = tuple(range(slot, slot + len(idxs)))
+                fields.append(_FieldSpec(name, "seq", slots, idxs, pad,
+                                         spec.get("encoder", "MaskedAveragePooling"),
+                                         has_pretrained and spec.get("freeze_emb", True),
+                                         hook, feat_dim))
+                token_cols.extend(idxs)
+                token_offsets.extend([base] * len(idxs))
+                token_padding.extend([pad] * len(idxs))
+                slot += len(idxs)
+            else:
+                raise NotImplementedError("feature type={}".format(ftype))
+        return EmbeddingSpec(fields=fields, total_rows=total_rows,
+                             token_cols=np.asarray(token_cols, np.int32),
+                             token_offsets=np.asarray(token_offsets, np.int32),
+                             token_padding=np.asarray(token_padding, np.int32),
+                             numeric_cols=np.asarray(numeric_cols, np.int32),
+                             num_fields=len(fields),
+                             pretrained=pretrained)
+
+    def init_table(self, key, embedding_dim, data_dir=None, std=1.e-4):
+        """N(0, std) rows, padding rows zero, pretrained rows loaded."""
+        table = std * jax.random.normal(key, (self.total_rows, embedding_dim))
+        pad_rows = self.token_offsets + self.token_padding
+        pad_rows = np.unique(pad_rows[self.token_padding >= 0])
+        if len(pad_rows):
+            table = table.at[pad_rows].set(0.0)
+        for name, info in self.pretrained.items():
+            path = os.path.join(data_dir or ".", info["file"])
+            with h5py.File(path, "r") as hf:
+                emb = np.asarray(hf[name][:], dtype=np.float32)
+            table = table.at[info["offset"]: info["offset"] + info["rows"]].set(emb)
+        return table
+
+
+class PackedEmbedding(nn.Module):
+    """X [..., input_length] -> feature embeddings [..., F, d]."""
+    spec: EmbeddingSpec
+    embedding_dim: int
+    data_dir: Optional[str] = None
+    init_std: float = 1.e-4
+
+    @nn.compact
+    def __call__(self, X_tokens, X_numeric=None):
+        spec = self.spec
+        table = self.param(
+            "table",
+            lambda key, _: spec.init_table(key, self.embedding_dim,
+                                           self.data_dir, self.init_std),
+            (spec.total_rows, self.embedding_dim))
+        ids_local = X_tokens[..., spec.token_cols]                      # [..., T]
+        ids = ids_local + jnp.asarray(spec.token_offsets)
+        emb = jnp.take(table, ids, axis=0)                              # [..., T, d]
+        pad = jnp.asarray(spec.token_padding)
+        mask = (ids_local != pad[None, :]) | (pad[None, :] < 0)
+        emb = emb * mask[..., None]
+
+        if spec.numeric_cols.size:
+            num_w = self.param("numeric_weights", xavier_normal,
+                               (len(spec.numeric_cols), self.embedding_dim))
+            num_vals = X_numeric[..., spec.numeric_cols]
+
+        outputs = []
+        for f in spec.fields:
+            if f.kind == "numeric":
+                pos = int(np.where(spec.numeric_cols == f.x_cols[0])[0][0])
+                outputs.append(num_vals[..., pos, None] * num_w[pos])
+            else:
+                vecs = emb[..., f.token_slots[0]: f.token_slots[-1] + 1, :]
+                if f.frozen:
+                    vecs = jax.lax.stop_gradient(vecs)
+                if f.kind == "token":
+                    vec = vecs[..., 0, :]
+                else:  # sequence pooling
+                    if f.encoder in (None, "none", "null"):
+                        vec = vecs  # un-pooled [..., max_len, d]
+                    elif f.encoder == "MaskedSumPooling":
+                        vec = jnp.sum(vecs, axis=-2)
+                    elif f.encoder == "MaskedAveragePooling":
+                        m = mask[..., f.token_slots[0]: f.token_slots[-1] + 1]
+                        cnt = jnp.sum(m, axis=-1, keepdims=True)
+                        vec = jnp.sum(vecs, axis=-2) / (cnt + 1e-16)
+                    else:
+                        raise RuntimeError("sequence encoder={} is not supported."
+                                           .format(f.encoder))
+                if f.hook:
+                    vec = nn.Dense(self.embedding_dim, use_bias=False,
+                                   kernel_init=xavier_normal,
+                                   name=f"hook_{f.name}")(vec)
+                outputs.append(vec)
+        return jnp.stack(outputs, axis=-2)
+
+
+class LabelEmbedding(nn.Module):
+    """3-entry label table: 0/1 = labels, 2 = [MASK] for the target
+    (RAT_m2.py:64-65,115). torch's plain nn.Embedding default init is
+    N(0,1) and the reference never re-initializes it."""
+    embedding_dim: int
+
+    @nn.compact
+    def __call__(self, labels):
+        table = self.param("table", nn.initializers.normal(stddev=1.0),
+                           (3, self.embedding_dim))
+        return jnp.take(table, labels, axis=0)

@@ -1,0 +1,18 @@
+"""Determinism helpers.
+
+JAX is functional, so device-side computation is deterministic once the
+PRNG keys are fixed; the residual risk is host-side data order
+(numpy shuffles) — seeded here. (Reference contract:
+fuxictr/pytorch/torch_utils.py:26-32.)
+"""
+
+import os
+import random
+
+import numpy as np
+
+
+def seed_everything(seed=1029):
+    random.seed(seed)
+    os.environ["PYTHONHASHSEED"] = str(seed)
+    np.random.seed(seed)

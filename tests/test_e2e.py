@@ -1,0 +1,76 @@
+"""End-to-end golden-run test: CSV -> build -> retrieval -> train ->
+eval through the CLI path, on a tiny synthetic dataset."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+
+@pytest.fixture()
+def exp_dir(tmp_path, monkeypatch):
+    from rat_tpu.data.synthetic import make_mltag_like
+    monkeypatch.chdir(tmp_path)
+    make_mltag_like("./data/e2e", n_train=3000, n_valid=600, n_test=600,
+                    n_users=80, n_items=50, n_tags=20, seed=1)
+    cfg = tmp_path / "configs"
+    cfg.mkdir()
+    model_cfg = {
+        "RAT_m2_e2e": {
+            "dataset_id": "e2e_10fold_retrieval", "model": "RAT_m2",
+            "model_id": "RAT_m2_e2e", "model_root": "./exps/",
+            "batch_size": 512, "embedding_dim": 8,
+            "dnn_hidden_units": [32, 32], "dnn_activations": "relu",
+            "embedding_regularizer": 0.01, "net_regularizer": 0,
+            "net_dropout": 0, "batch_norm": False, "learning_rate": 2e-3,
+            "epochs": 6, "num_heads": 2, "depth": 1, "dim_head": 8,
+            "dropout": 0.0, "emb_dropout": 0.0, "scale_dim": 2,
+            "use_wide": True, "retrieval_augmented": True,
+            "metrics": ["AUC", "logloss"], "monitor": "AUC",
+            "monitor_mode": "max", "patience": 3, "every_x_epochs": 1,
+            "seed": 7, "shuffle": True, "verbose": 0,
+            "loss": "binary_crossentropy", "optimizer": "adam",
+            "task": "binary_classification", "save_best_only": True,
+        }
+    }
+    dataset_cfg = {
+        "e2e_10fold_retrieval": {
+            "data_format": "csv", "data_root": "./data/",
+            "feature_cols": [{"active": True, "dtype": "float",
+                              "name": ["user_id", "item_id", "tag_id"],
+                              "type": "categorical"}],
+            "label_col": {"dtype": "float", "name": "label"},
+            "min_categr_count": 1,
+            "train_data": "./data/e2e/train.csv",
+            "valid_data": "./data/e2e/valid.csv",
+            "test_data": "./data/e2e/test.csv",
+            "retrieval_configs": {
+                "used_cols": ["user_id", "item_id", "tag_id"],
+                "exact_match_cols": [], "split_type": "4-fold",
+                "label_wise": False, "pool_ratio": 0.2,
+                "pre_retrieval": True, "enable_clean": False,
+                "qry_batch_size": 2000, "db_chunk_size": 5000, "topK": 3,
+            },
+        }
+    }
+    (cfg / "model_config.yaml").write_text(yaml.dump(model_cfg))
+    (cfg / "dataset_config.yaml").write_text(yaml.dump(dataset_cfg))
+    return str(cfg)
+
+
+@pytest.mark.slow
+def test_run_experiment_end_to_end(exp_dir):
+    from rat_tpu.cli.run_expid import run_experiment
+    valid, test = run_experiment(exp_dir, "RAT_m2_e2e")
+    assert valid["AUC"] > 0.65, valid
+    assert test["AUC"] > 0.6, test
+    # artifacts cached for idempotent resume
+    assert os.path.exists("./data/e2e_10fold_retrieval/feature_map.json")
+    assert os.path.exists("./data/e2e_10fold_retrieval/train.h5")
+    assert os.path.exists("./data/e2e_10fold_retrieval/retrieval_3_train.h5")
+    assert os.path.exists("./exps/e2e_10fold_retrieval/RAT_m2_e2e.model")
+    assert os.path.exists("./exps/e2e_10fold_retrieval/RAT_m2_e2e.csv")
+    # second invocation reuses caches (fast path) and reproduces metrics
+    valid2, test2 = run_experiment(exp_dir, "RAT_m2_e2e")
+    assert valid2["AUC"] == pytest.approx(valid["AUC"], abs=0.05)

