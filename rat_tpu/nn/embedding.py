@@ -208,6 +208,22 @@ class PackedEmbedding(nn.Module):
         return jnp.stack(outputs, axis=-2)
 
 
+class MergedEmbeddingLayer(nn.Module):
+    """One big table over the concatenated vocab, xavier-uniform init —
+    expects globally-offset ids (embedding.py:181-194; pair with
+    rat_tpu.data.graph.PETGraphProcessor.convert_indices)."""
+    feature_map: Any
+    embedding_dim: int
+
+    @nn.compact
+    def __call__(self, X):
+        num_embedding = sum(spec["vocab_size"] for spec
+                            in self.feature_map.feature_specs.values())
+        table = self.param("table", nn.initializers.variance_scaling(
+            1.0, "fan_avg", "uniform"), (num_embedding, self.embedding_dim))
+        return jnp.take(table, X, axis=0)
+
+
 class LabelEmbedding(nn.Module):
     """3-entry label table: 0/1 = labels, 2 = [MASK] for the target
     (RAT_m2.py:64-65,115). torch's plain nn.Embedding default init is
