@@ -24,7 +24,11 @@ from ..features import datasets as dataset_encoders
 from ..utils import load_config, print_to_json, print_to_list, seed_everything, set_logger
 
 
-def run_experiment(config_dir, experiment_id, version="tpu", gpu=-1):
+def run_experiment(config_dir, experiment_id, version="tpu", gpu=-1,
+                   platform="auto"):
+    if platform != "auto":
+        import jax
+        jax.config.update("jax_platforms", platform)
     params = load_config(config_dir, experiment_id)
     params["gpu"] = gpu
     params["version"] = version
@@ -104,8 +108,12 @@ def main():
                         help="The experiment id to run.")
     parser.add_argument("--gpu", type=int, default=-1,
                         help="Kept for CLI compatibility; backend is chosen by JAX.")
+    parser.add_argument("--platform", type=str, default="auto",
+                        choices=["auto", "cpu", "tpu"],
+                        help="Force the JAX platform (overrides env hooks).")
     args = vars(parser.parse_args())
-    run_experiment(args["config"], args["expid"], args["version"], args["gpu"])
+    run_experiment(args["config"], args["expid"], args["version"], args["gpu"],
+                   args["platform"])
 
 
 if __name__ == "__main__":

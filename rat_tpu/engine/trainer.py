@@ -54,19 +54,26 @@ def _bce(pred, target):
 
 
 def _gather_batch(data, idx):
-    """Assemble the [B, 1+K, F] grid from device-resident split arrays."""
+    """Assemble the [B, 1+K, L] grid from device-resident split arrays.
+    Returns (X tokens, y labels, X_num or None)."""
     Xt = data["tokens"][idx]
     yt = data["labels"][idx]
+    Xf = data["numeric"][idx] if "numeric" in data else None
     if "nbr" in data:
         nb = data["nbr"][idx]
         Xn = data["pool_tokens"][nb]
         yn = data["pool_labels"][nb]
         X = jnp.concatenate([Xt[:, None, :], Xn], axis=1)
         y = jnp.concatenate([yt[:, None], yn], axis=1)
+        if Xf is not None:
+            Xf = jnp.concatenate([Xf[:, None, :], data["pool_numeric"][nb]],
+                                 axis=1)
     else:
         X = Xt[:, None, :]
         y = yt[:, None]
-    return X, y
+        if Xf is not None:
+            Xf = Xf[:, None, :]
+    return X, y, Xf
 
 
 class Trainer(object):
@@ -99,6 +106,9 @@ class Trainer(object):
         self._batch_norm = params.get("batch_norm", False)
         self._seed = params.get("seed", 2021)
         self._rng = jax.random.PRNGKey(self._seed)
+        # profiling hooks (new vs reference: SURVEY.md §5 tracing row)
+        self._profile_dir = params.get("profile_dir", None)
+        self._profile_steps = params.get("profile_steps", 10)
         self.tx = get_optimizer(params.get("optimizer", "adam"),
                                 self._learning_rate, self._max_gradient_norm)
         self.state = None
@@ -108,9 +118,13 @@ class Trainer(object):
     # ---- state ----------------------------------------------------------
     def init_state(self, example_X, example_y):
         init_rng, self._rng = jax.random.split(self._rng)
+        example_X_num = None
+        if any(spec["type"] == "numeric" for spec
+               in self.feature_map.feature_specs.values()):
+            example_X_num = jnp.zeros(np.shape(example_X), jnp.float32)
         variables = self.model.init({"params": init_rng, "dropout": init_rng},
                                     jnp.asarray(example_X), jnp.asarray(example_y),
-                                    train=False)
+                                    example_X_num, train=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
@@ -166,14 +180,14 @@ class Trainer(object):
                 variables = {"params": params}
                 if has_bn:
                     variables["batch_stats"] = state.batch_stats
-                X, y = _gather_batch(data, idx)
+                X, y, Xf = _gather_batch(data, idx)
                 if has_bn:
-                    out, mutated = model.apply(variables, X, y, train=True,
+                    out, mutated = model.apply(variables, X, y, Xf, train=True,
                                                rngs={"dropout": step_rng},
                                                mutable=["batch_stats"])
                     new_stats = mutated["batch_stats"]
                 else:
-                    out = model.apply(variables, X, y, train=True,
+                    out = model.apply(variables, X, y, Xf, train=True,
                                       rngs={"dropout": step_rng})
                     new_stats = state.batch_stats
                 pred = out["y_pred"][:, 0]
@@ -197,8 +211,8 @@ class Trainer(object):
             variables = {"params": state.params}
             if has_bn:
                 variables["batch_stats"] = state.batch_stats
-            X, y = _gather_batch(data, idx)
-            out = model.apply(variables, X, y, train=False)
+            X, y, Xf = _gather_batch(data, idx)
+            out = model.apply(variables, X, y, Xf, train=False)
             return out["y_pred"][:, 0], out["y_true"][:, 0]
 
         self._jit_train_step = train_step
@@ -207,10 +221,14 @@ class Trainer(object):
     # ---- device split upload -------------------------------------------
     def device_split(self, gen):
         darray = gen.darray
+        has_numeric = any(spec["type"] == "numeric" for spec
+                          in self.feature_map.feature_specs.values())
         data = {
             "tokens": jnp.asarray(darray[:, :-1].astype(np.int32)),
             "labels": jnp.asarray(darray[:, -1].astype(np.float32)),
         }
+        if has_numeric:
+            data["numeric"] = jnp.asarray(darray[:, :-1].astype(np.float32))
         if gen.retrieval_augmented:
             if gen.retr_lens.ndim != 1:
                 raise AssertionError(
@@ -218,6 +236,8 @@ class Trainer(object):
             pool = gen.pool_darray
             data["pool_tokens"] = jnp.asarray(pool[:, :-1].astype(np.int32))
             data["pool_labels"] = jnp.asarray(pool[:, -1].astype(np.float32))
+            if has_numeric:
+                data["pool_numeric"] = jnp.asarray(pool[:, :-1].astype(np.float32))
             data["nbr"] = jnp.asarray(gen.neighbor_gather_indices())
         return data
 
@@ -260,15 +280,27 @@ class Trainer(object):
         examples = 0
         tic = time.time()
         rng, self._rng = jax.random.split(self._rng)
+        profiling = self._profile_dir is not None and epoch == 0
         for batch_index, (idx, valid) in enumerate(train_gen.epoch_index_batches()):
+            if profiling and batch_index == 2:  # skip compile steps
+                jax.profiler.start_trace(self._profile_dir)
             self.state, loss = self._jit_train_step(
                 self.state, self._train_data, jnp.asarray(idx),
                 jnp.float32(valid), rng)
             losses.append(loss)
             examples += valid
+            if profiling and batch_index == 2 + self._profile_steps:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+                logging.info("Profiler trace written to {}".format(
+                    self._profile_dir))
+                profiling = False
             self.on_batch_end(batch_index)
             if self._stop_training:
                 break
+        if profiling and len(losses) > 2:
+            jax.block_until_ready(losses[-1])
+            jax.profiler.stop_trace()
         epoch_secs = time.time() - tic
         epoch_loss = float(np.sum(jax.device_get(losses))) / self._batches_per_epoch
         return epoch_loss, examples, epoch_secs
@@ -340,6 +372,30 @@ class Trainer(object):
             p, _ = self._jit_eval_step(self.state, data, jnp.asarray(idx))
             y_pred.append(jax.device_get(p)[:valid])
         return np.concatenate(y_pred).astype(np.float64)
+
+    # ---- full-state checkpoint/resume -----------------------------------
+    def save_train_state(self, path):
+        """Checkpoint the FULL TrainState (params + optimizer moments +
+        step) plus monitor bookkeeping for exact resume (beyond the
+        reference's weights-only checkpoints, base_model.py:275-284)."""
+        from .checkpoint import save_train_state
+        extra = {
+            "best_metric": float(getattr(self, "_best_metric", -np.inf)),
+            "stopping_steps": int(getattr(self, "_stopping_steps", 0)),
+            "total_batches": int(getattr(self, "_total_batches", 0)),
+            "rng": np.asarray(jax.device_get(self._rng)).tolist(),
+        }
+        save_train_state(path, self.state, extra)
+
+    def restore_train_state(self, path):
+        from .checkpoint import restore_train_state
+        self.state, extra = restore_train_state(path, self.state)
+        if extra:
+            self._best_metric = extra["best_metric"]
+            self._stopping_steps = extra["stopping_steps"]
+            self._total_batches = extra["total_batches"]
+            self._rng = jnp.asarray(np.asarray(extra["rng"], dtype=np.uint32))
+        return extra
 
     # ---- checkpoint IO --------------------------------------------------
     def save_weights(self, checkpoint):

@@ -57,10 +57,13 @@ class RATModel(nn.Module):
     data_dir: Optional[str] = None
 
     @nn.compact
-    def __call__(self, X, y, train: bool = False):
-        """X: [B, 1+K, F] int32 token ids, y: [B, 1+K] float labels.
-        Returns {"y_pred": [B, 1] logits after sigmoid, "y_true": [B, 1]}."""
-        B, T, F = X.shape
+    def __call__(self, X, y, X_num=None, train: bool = False):
+        """X: [B, 1+K, L] int32 token ids (L = input_length), y: [B, 1+K]
+        float labels, X_num: optional [B, 1+K, L] float values for
+        numeric columns. Returns {"y_pred": [B, 1] post-sigmoid,
+        "y_true": [B, 1]}."""
+        B, T = X.shape[:2]
+        F = self.num_fields
         d = self.embedding_dim
 
         embedding_layer = PackedEmbedding(self.embedding_spec, d,
@@ -73,7 +76,7 @@ class RATModel(nn.Module):
         self.param("query_proj_kernel", xavier_normal, (d * F, d * F))
         self.param("query_proj_bias", nn.initializers.zeros, (d * F,))
 
-        feature_emb = embedding_layer(X)                       # [B, T, F, d]
+        feature_emb = embedding_layer(X, X_num)                # [B, T, F, d]
         # label token ids: target -> mask id 2, neighbors -> true labels
         label_ids = jnp.concatenate(
             [jnp.full((B, 1), 2, dtype=jnp.int32),
@@ -115,8 +118,8 @@ class RATModel(nn.Module):
                                batch_norm=self.batch_norm,
                                name="dnn")(target_emb, train=train)
         if self.use_wide:
-            y_pred += LRLayer(self.lr_spec, use_bias=False,
-                              name="lr_layer")(X[:, 0:1])
+            y_pred += LRLayer(self.lr_spec, use_bias=False, name="lr_layer")(
+                X[:, 0:1], X_num[:, 0:1] if X_num is not None else None)
         y_pred = nn.sigmoid(y_pred)
         return {"y_pred": y_pred, "y_true": y[:, 0:1]}
 
