@@ -32,6 +32,33 @@ def test_dryrun_multichip_8dev():
 
 
 @pytest.mark.slow
+def test_sharded_bm25_matches_single_device():
+    """The pool-sharded scan must reproduce the single-device engine."""
+    code = """
+import numpy as np
+from rat_tpu.retrieval import bm25_topk_retrieval
+from rat_tpu.retrieval.sharded import sharded_bm25_topk_retrieval
+from rat_tpu.parallel import make_mesh
+rng = np.random.RandomState(0)
+db = rng.randint(0, 6, (500, 4))
+q = rng.randint(0, 6, (40, 4))
+mesh = make_mesh(n_devices=8, model_axis_size=1)
+r1 = bm25_topk_retrieval(db, q, db_chunk_size=64, topK=5)
+r2 = sharded_bm25_topk_retrieval(db, q, mesh, db_chunk_size=16, topK=5)
+np.testing.assert_allclose(r1.values, r2.values, rtol=1e-5)
+np.testing.assert_array_equal(r1.lens, r2.lens)
+# indices may tie-swap only within equal scores
+for i in range(len(q)):
+    same = r1.indices[i] == r2.indices[i]
+    assert same.all() or np.allclose(np.sort(r1.values[i]), np.sort(r2.values[i]))
+print('MATCH')
+"""
+    r = _run_in_subprocess(code)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "MATCH" in r.stdout
+
+
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     """The 4-device DP x 2-way row-sharded step must produce the same
     loss as the unsharded step (SPMD is a partitioning, not a math
