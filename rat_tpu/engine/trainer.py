@@ -148,12 +148,25 @@ class Trainer(object):
         return total
 
     # ---- jitted steps ---------------------------------------------------
+    def _use_fast_forward(self):
+        """Fused Pallas path: default variant, no dropout/BN, relu DNN."""
+        m = self.model
+        return (self.params.get("use_pallas", False)
+                and m.variant == "default"
+                and m.dropout == 0 and m.emb_dropout == 0
+                and m.net_dropout == 0 and not m.batch_norm
+                and str(m.dnn_activations).lower() == "relu")
+
     def _build_steps(self):
         model = self.model
         tx = self.tx
         emb_reg = self._embedding_regularizer
         net_reg = self._net_regularizer
         has_bn = self._batch_norm
+        use_fast = self._use_fast_forward()
+        if use_fast:
+            from ..models.fast_forward import rat_m2_fast_forward
+            logging.info("Using fused Pallas fast-forward path for RAT_m2")
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -181,7 +194,10 @@ class Trainer(object):
                 if has_bn:
                     variables["batch_stats"] = state.batch_stats
                 X, y, Xf = _gather_batch(data, idx)
-                if has_bn:
+                if use_fast:
+                    out = rat_m2_fast_forward(params, model, X, y, Xf)
+                    new_stats = state.batch_stats
+                elif has_bn:
                     out, mutated = model.apply(variables, X, y, Xf, train=True,
                                                rngs={"dropout": step_rng},
                                                mutable=["batch_stats"])
@@ -212,7 +228,10 @@ class Trainer(object):
             if has_bn:
                 variables["batch_stats"] = state.batch_stats
             X, y, Xf = _gather_batch(data, idx)
-            out = model.apply(variables, X, y, Xf, train=False)
+            if use_fast:
+                out = rat_m2_fast_forward(state.params, model, X, y, Xf)
+            else:
+                out = model.apply(variables, X, y, Xf, train=False)
             return out["y_pred"][:, 0], out["y_true"][:, 0]
 
         self._jit_train_step = train_step
