@@ -14,6 +14,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -22,6 +23,7 @@ BASELINE_EXAMPLES_PER_SEC = 5.4e4
 
 
 def main():
+    use_pallas = os.environ.get("RAT_TPU_BENCH_PALLAS", "0") == "1"
     import jax
     import jax.numpy as jnp
     from rat_tpu.engine import Trainer
@@ -45,7 +47,7 @@ def main():
         "net_dropout": 0.0, "batch_norm": False, "use_wide": True,
         "embedding_regularizer": 0.03, "net_regularizer": 0,
         "learning_rate": 1e-3, "optimizer": "adam", "seed": 2021,
-        "metrics": ["AUC", "logloss"],
+        "metrics": ["AUC", "logloss"], "use_pallas": use_pallas,
     }
 
     B, K, F, N = 4096, 5, 3, 200_000

@@ -1,0 +1,212 @@
+"""Benchmark harness: train/eval/retrieval throughput + mesh scaling.
+
+Produces the scaling report the reference never had (SURVEY.md §6: no
+examples/s/chip or multi-device numbers exist upstream; targets come
+from BASELINE.json). Each benchmark prints one JSON line; ``--suite``
+runs them all.
+
+Usage:
+  python -m rat_tpu.cli.benchmark --bench train        # ML-Tag shape
+  python -m rat_tpu.cli.benchmark --bench eval
+  python -m rat_tpu.cli.benchmark --bench retrieval
+  python -m rat_tpu.cli.benchmark --bench scaling --devices 8  # CPU mesh
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+REF = {
+    # reference single-GPU numbers derived from its committed logs
+    # (SURVEY.md §6)
+    "train": 5.4e4,
+    "eval": 1.1e5,
+    # retrieval: ML-Tag 10-fold precompute processes 1.4M queries against
+    # ~1.26M-row fold pools; the reference gives no isolated number, so
+    # vs_baseline is reported against the train-throughput baseline pool
+    "retrieval": None,
+}
+
+
+def _mltag_setup(use_pallas=False, batch_size=4096):
+    import jax.numpy as jnp
+
+    from ..engine import Trainer
+    from ..features import FeatureMap
+
+    fm = FeatureMap("bench_mltag", ".")
+    fm.feature_specs = {
+        "user_id": {"source": "", "type": "categorical", "vocab_size": 61000, "index": 0},
+        "item_id": {"source": "", "type": "categorical", "vocab_size": 17000, "index": 1},
+        "tag_id": {"source": "", "type": "categorical", "vocab_size": 12000, "index": 2},
+    }
+    fm.num_fields, fm.num_features, fm.input_length = 3, 90000, 3
+    params = {
+        "model": "RAT_m2", "model_id": "bench", "model_root": "/tmp/bench_exps/",
+        "embedding_dim": 10, "dnn_hidden_units": [400, 400, 400],
+        "dnn_activations": "relu", "num_heads": 2, "dim_head": 10,
+        "depth": 4, "scale_dim": 4, "dropout": 0.0, "emb_dropout": 0.0,
+        "net_dropout": 0.0, "batch_norm": False, "use_wide": True,
+        "embedding_regularizer": 0.03, "net_regularizer": 0,
+        "learning_rate": 1e-3, "optimizer": "adam", "seed": 2021,
+        "metrics": ["AUC", "logloss"], "use_pallas": use_pallas,
+    }
+    B, K, F, N = batch_size, 5, 3, 200_000
+    rng = np.random.RandomState(0)
+    trainer = Trainer(fm, params)
+    trainer.init_state(np.zeros((B, 1 + K, F), np.int32),
+                       np.zeros((B, 1 + K), np.float32))
+    trainer._build_steps()
+    tokens = np.stack([rng.randint(0, 61000, N), rng.randint(0, 17000, N),
+                       rng.randint(0, 12000, N)], axis=1).astype(np.int32)
+    labels = rng.randint(0, 2, N).astype(np.float32)
+    data = {"tokens": jnp.asarray(tokens), "labels": jnp.asarray(labels),
+            "pool_tokens": jnp.asarray(tokens), "pool_labels": jnp.asarray(labels),
+            "nbr": jnp.asarray(rng.randint(0, N, (N, K)).astype(np.int32))}
+    idx = [jnp.asarray(rng.randint(0, N, B).astype(np.int32)) for _ in range(16)]
+    return trainer, data, idx, B
+
+
+def bench_train(use_pallas=False, steps=100):
+    import jax
+    import jax.numpy as jnp
+    trainer, data, idx, B = _mltag_setup(use_pallas)
+    rng = jax.random.PRNGKey(0)
+    for i in range(3):
+        trainer.state, loss = trainer._jit_train_step(
+            trainer.state, data, idx[i % 16], jnp.float32(B), rng)
+    jax.block_until_ready(loss)
+    tic = time.perf_counter()
+    for i in range(steps):
+        trainer.state, loss = trainer._jit_train_step(
+            trainer.state, data, idx[i % 16], jnp.float32(B), rng)
+    jax.block_until_ready(loss)
+    eps = steps * B / (time.perf_counter() - tic)
+    name = "rat_m2_mltag_train_throughput" + ("_pallas" if use_pallas else "")
+    return {"metric": name, "value": round(eps, 1), "unit": "examples/s",
+            "vs_baseline": round(eps / REF["train"], 3)}
+
+
+def bench_eval(steps=100):
+    import jax
+    trainer, data, idx, B = _mltag_setup()
+    p, t = trainer._jit_eval_step(trainer.state, data, idx[0])
+    jax.block_until_ready(p)
+    tic = time.perf_counter()
+    for i in range(steps):
+        p, t = trainer._jit_eval_step(trainer.state, data, idx[i % 16])
+    jax.block_until_ready(p)
+    eps = steps * B / (time.perf_counter() - tic)
+    return {"metric": "rat_m2_mltag_eval_throughput", "value": round(eps, 1),
+            "unit": "examples/s", "vs_baseline": round(eps / REF["eval"], 3)}
+
+
+def bench_retrieval(n_db=200_000, n_qry=10_000, topk=5):
+    from ..retrieval import bm25_topk_retrieval
+    rng = np.random.RandomState(0)
+    db = np.stack([rng.randint(0, 61000, n_db), rng.randint(0, 17000, n_db),
+                   rng.randint(0, 12000, n_db)], axis=1)
+    q = db[rng.randint(0, n_db, n_qry)]
+    # warm/compile
+    bm25_topk_retrieval(db, q[:2048], qry_batch_size=2048,
+                        db_chunk_size=50_000, topK=topk)
+    tic = time.perf_counter()
+    bm25_topk_retrieval(db, q, qry_batch_size=2048, db_chunk_size=50_000,
+                        topK=topk)
+    secs = time.perf_counter() - tic
+    qps = n_qry / secs
+    row_scores = qps * n_db
+    return {"metric": "bm25_retrieval_queries_per_s_200k_pool",
+            "value": round(qps, 1), "unit": "queries/s",
+            "vs_baseline": round(row_scores / 1e9, 3)}  # billion row-scores/s
+
+
+def bench_scaling(n_devices):
+    """DP scaling efficiency on an n-device mesh (virtual CPU devices in
+    tests; real chips on a slice)."""
+    import jax
+    jax_devices = len(jax.devices())
+    assert jax_devices >= n_devices, f"need {n_devices} devices, have {jax_devices}"
+    import jax.numpy as jnp
+    from ..parallel import make_mesh
+    results = {}
+    for nd in [1, n_devices]:
+        mesh = make_mesh(n_devices=nd, model_axis_size=1)
+        trainer, data, idx, B = None, None, None, None
+        from ..engine import Trainer
+        from ..features import FeatureMap
+        fm = FeatureMap("bench_scaling", ".")
+        fm.feature_specs = {
+            "user_id": {"source": "", "type": "categorical", "vocab_size": 61000, "index": 0},
+            "item_id": {"source": "", "type": "categorical", "vocab_size": 17000, "index": 1},
+            "tag_id": {"source": "", "type": "categorical", "vocab_size": 12000, "index": 2},
+        }
+        fm.num_fields, fm.num_features, fm.input_length = 3, 90000, 3
+        params = {"model": "RAT_m2", "model_id": "bench",
+                  "model_root": "/tmp/bench_exps/", "embedding_dim": 10,
+                  "dnn_hidden_units": [64, 64], "dnn_activations": "relu",
+                  "num_heads": 2, "dim_head": 10, "depth": 2, "scale_dim": 4,
+                  "dropout": 0., "emb_dropout": 0., "net_dropout": 0.,
+                  "batch_norm": False, "use_wide": True,
+                  "embedding_regularizer": 0.03, "net_regularizer": 0,
+                  "learning_rate": 1e-3, "optimizer": "adam", "seed": 2021,
+                  "metrics": ["AUC"]}
+        B, K, F, N = 1024 * nd, 5, 3, 50_000
+        rng = np.random.RandomState(0)
+        trainer = Trainer(fm, params, mesh=mesh)
+        trainer.init_state(np.zeros((B, 1 + K, F), np.int32),
+                           np.zeros((B, 1 + K), np.float32))
+        trainer._build_steps()
+        tokens = np.stack([rng.randint(0, 61000, N), rng.randint(0, 17000, N),
+                           rng.randint(0, 12000, N)], axis=1).astype(np.int32)
+        labels = rng.randint(0, 2, N).astype(np.float32)
+        data = {"tokens": jnp.asarray(tokens), "labels": jnp.asarray(labels),
+                "pool_tokens": jnp.asarray(tokens),
+                "pool_labels": jnp.asarray(labels),
+                "nbr": jnp.asarray(rng.randint(0, N, (N, K)).astype(np.int32))}
+        idx = jnp.asarray(rng.randint(0, N, B).astype(np.int32))
+        key = jax.random.PRNGKey(0)
+        trainer.state, loss = trainer._jit_train_step(
+            trainer.state, data, idx, jnp.float32(B), key)
+        jax.block_until_ready(loss)
+        steps = 20
+        tic = time.perf_counter()
+        for _ in range(steps):
+            trainer.state, loss = trainer._jit_train_step(
+                trainer.state, data, idx, jnp.float32(B), key)
+        jax.block_until_ready(loss)
+        results[nd] = steps * B / (time.perf_counter() - tic)
+    eff = results[n_devices] / (results[1] * n_devices)
+    return {"metric": f"dp_scaling_efficiency_{n_devices}dev",
+            "value": round(eff, 3), "unit": "fraction",
+            "vs_baseline": round(eff / 0.8, 3)}  # >= 80% target
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--bench", default="train",
+                        choices=["train", "train_pallas", "eval", "retrieval",
+                                 "scaling", "suite"])
+    parser.add_argument("--devices", type=int, default=8)
+    args = parser.parse_args()
+    benches = {
+        "train": lambda: bench_train(False),
+        "train_pallas": lambda: bench_train(True),
+        "eval": bench_eval,
+        "retrieval": bench_retrieval,
+        "scaling": lambda: bench_scaling(args.devices),
+    }
+    if args.bench == "suite":
+        for name, fn in benches.items():
+            try:
+                print(json.dumps(fn()))
+            except Exception as e:
+                print(json.dumps({"metric": name, "error": str(e)[:200]}))
+    else:
+        print(json.dumps(benches[args.bench]()))
+
+
+if __name__ == "__main__":
+    main()
