@@ -21,6 +21,23 @@ import numpy as np
 import pandas as pd
 import sklearn.preprocessing as sklearn_preprocess
 
+try:  # native fast path (rat_tpu/native/fastenc.cpp); Python fallback below
+    from ..native import build as _build_native
+    from .. import native as _native
+except Exception:  # pragma: no cover
+    _native = None
+
+# only worth building/binding above this row count
+_NATIVE_MIN_ROWS = 50_000
+
+
+def _fastenc(n_rows):
+    if _native is None or n_rows < _NATIVE_MIN_ROWS:
+        return None
+    if _native.fastenc is None:
+        _build_native()
+    return _native.fastenc
+
 
 def count_tokens(texts, splitter):
     word_counts = Counter()
@@ -53,6 +70,16 @@ class Tokenizer(object):
         self.use_padding = use_padding
         word_counts = Counter()
         if self._splitter is not None:  # sequence column
+            enc = _fastenc(len(texts))
+            if enc is not None:
+                cleaned = ["" if (not isinstance(t, str) and pd.isnull(t)) else t
+                           for t in texts]
+                counts, max_len = enc.count_tokens(cleaned, self._splitter)
+                word_counts = Counter(counts)
+                if self.max_len == 0:
+                    self.max_len = max_len
+                self.build_vocab(word_counts)
+                return
             # token counting is embarrassingly parallel over row chunks;
             # a 'spawn'-context pool is used (fork after JAX initializes
             # can deadlock) and only pays off for large columns
@@ -94,10 +121,29 @@ class Tokenizer(object):
         self.vocab_size = len(self.vocab) + self.oov_token
 
     def encode_category(self, categories):
+        enc = _fastenc(len(categories))
+        # native path pays off only for string columns (it stringifies
+        # keys and queries identically; Python dict probes on interned
+        # strings are already C-speed, but the C++ map skips the
+        # per-item refcount/hash overhead on large columns)
+        if enc is not None and len(categories) and isinstance(
+                next(iter(self.vocab)), str):
+            return np.array(enc.encode_category(
+                list(categories), self.vocab, self.oov_token))
         category_indices = [self.vocab.get(x, self.oov_token) for x in categories]
         return np.array(category_indices)
 
     def encode_sequence(self, texts):
+        enc = _fastenc(len(texts))
+        if enc is not None:
+            cleaned = ["" if (not isinstance(t, str) and pd.isnull(t)) else t
+                       for t in texts]
+            rows = enc.encode_sequences(
+                cleaned, self.vocab,
+                self.oov_token, self._splitter, self.max_len,
+                self.vocab_size - 1, self.padding == "pre",
+                self.padding == "pre")
+            return np.array(rows, dtype="int32")
         sequence_list = []
         for text in texts:
             if pd.isnull(text) or text == "":
