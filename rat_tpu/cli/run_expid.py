@@ -68,7 +68,8 @@ def run_experiment(config_dir, experiment_id, version="tpu", gpu=-1,
 
     model = Trainer(feature_map, params)
     k = train_gen.topk
-    model.init_state(np.zeros((2, 1 + k, feature_map.num_fields), np.int32),
+    input_length = feature_map.input_length or feature_map.num_fields
+    model.init_state(np.zeros((2, 1 + k, input_length), np.int32),
                      np.zeros((2, 1 + k), np.float32))
     model.count_parameters()
     model.fit(train_gen, validation_data=valid_gen, **params)

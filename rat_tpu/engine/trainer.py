@@ -53,6 +53,20 @@ def _bce(pred, target):
     return -(target * logp + (1.0 - target) * log1mp)
 
 
+def get_loss_fn(loss):
+    """Loss factory by config name (torch_utils.py:51-63 semantics)."""
+    if isinstance(loss, str):
+        name = loss.lower()
+        if name in ("bce", "binary_crossentropy", "binary_cross_entropy"):
+            return _bce
+        if name in ("mse", "mse_loss", "mean_squared_error"):
+            return lambda pred, target: (pred - target) ** 2
+        if name in ("mae", "l1_loss"):
+            return lambda pred, target: jnp.abs(pred - target)
+        raise NotImplementedError("loss={} is not supported.".format(loss))
+    return loss  # callable
+
+
 def _gather_batch(data, idx):
     """Assemble the [B, 1+K, L] grid from device-resident split arrays.
     Returns (X tokens, y labels, X_num or None)."""
@@ -163,6 +177,7 @@ class Trainer(object):
         emb_reg = self._embedding_regularizer
         net_reg = self._net_regularizer
         has_bn = self._batch_norm
+        loss_fn_elem = get_loss_fn(self.params.get("loss", "binary_crossentropy"))
         use_fast = self._use_fast_forward()
         if use_fast:
             from ..models.fast_forward import rat_m2_fast_forward
@@ -209,7 +224,7 @@ class Trainer(object):
                 pred = out["y_pred"][:, 0]
                 target = out["y_true"][:, 0]
                 mask = (jnp.arange(pred.shape[0]) < valid).astype(pred.dtype)
-                loss = jnp.sum(_bce(pred, target) * mask) / valid
+                loss = jnp.sum(loss_fn_elem(pred, target) * mask) / valid
                 loss = loss + regularization_loss(params, emb_reg, net_reg)
                 return loss, new_stats
 
@@ -262,16 +277,22 @@ class Trainer(object):
 
     # ---- fit loop -------------------------------------------------------
     def fit(self, train_gen, validation_data=None, epochs=1, **kwargs):
+        from ..data.block_loader import DataBlockGenerator
+        self._block_mode = isinstance(train_gen, DataBlockGenerator)
         if self.state is None:
-            k = train_gen.topk
-            F = self.feature_map.num_fields
-            self.init_state(np.zeros((2, 1 + k, F), np.int32),
+            if self._block_mode:
+                first = next(train_gen.iter_block_views())
+                k = first.topk
+            else:
+                k = train_gen.topk
+            L = self.feature_map.input_length or self.feature_map.num_fields
+            self.init_state(np.zeros((2, 1 + k, L), np.int32),
                             np.zeros((2, 1 + k), np.float32))
         if self._jit_train_step is None:
             self._build_steps()
         self.valid_gen = validation_data
         self._valid_data = self.device_split(validation_data)
-        self._train_data = self.device_split(train_gen)
+        self._train_data = None if self._block_mode else self.device_split(train_gen)
         self._best_metric = np.inf if self._monitor_mode == "min" else -np.inf
         self._stopping_steps = 0
         self._total_batches = 0
@@ -294,17 +315,31 @@ class Trainer(object):
                 logging.info("************ Epoch={} end ************".format(epoch + 1))
         logging.info("Training finished.")
 
+    def _epoch_stream(self, train_gen):
+        """(device_data, idx, valid) triples for one epoch; block mode
+        uploads one block at a time (data_generator.py:452-455 shape)."""
+        if getattr(self, "_block_mode", False):
+            for view in train_gen.iter_block_views():
+                block_data = self.device_split(view)
+                for idx, valid in view.epoch_index_batches():
+                    yield block_data, idx, valid
+        else:
+            if self._train_data is None:
+                self._train_data = self.device_split(train_gen)
+            for idx, valid in train_gen.epoch_index_batches():
+                yield self._train_data, idx, valid
+
     def train_one_epoch(self, train_gen, epoch):
         losses = []
         examples = 0
         tic = time.time()
         rng, self._rng = jax.random.split(self._rng)
         profiling = self._profile_dir is not None and epoch == 0
-        for batch_index, (idx, valid) in enumerate(train_gen.epoch_index_batches()):
+        for batch_index, (data, idx, valid) in enumerate(self._epoch_stream(train_gen)):
             if profiling and batch_index == 2:  # skip compile steps
                 jax.profiler.start_trace(self._profile_dir)
             self.state, loss = self._jit_train_step(
-                self.state, self._train_data, jnp.asarray(idx),
+                self.state, data, jnp.asarray(idx),
                 jnp.float32(valid), rng)
             losses.append(loss)
             examples += valid

@@ -1,0 +1,112 @@
+"""Block-streaming training, pretrained embeddings, eval cadence."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from rat_tpu.data import save_hdf5
+from rat_tpu.data.block_loader import DataBlockGenerator
+from rat_tpu.engine import Trainer
+from tests.test_loader import RC, _write_split
+from tests.test_trainer import FakeGen, _trainer
+
+
+def test_block_generator_counts_and_views(tmp_path):
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"train_part_{i}.h5")
+        _write_split(p, n=40, seed=i)
+        paths.append(p)
+    gen = DataBlockGenerator(paths, batch_size=16, retrieval_configs=dict(RC),
+                             retrieval_pool_fname="self",
+                             retrieval_augmented=True)
+    assert gen.num_samples == 120
+    assert gen.num_blocks == 3
+    views = list(gen.iter_block_views())
+    assert len(views) == 3
+    assert all(v.retrieval_augmented for v in views)
+    # retrieval caches per block
+    for i in range(3):
+        assert os.path.exists(str(tmp_path / f"retrieval_4_train_part_{i}.h5"))
+
+
+def test_block_mode_training(tiny_feature_map, demo_params, tmp_path):
+    paths = []
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        X = rng.randint(1, 8, (128, 3))
+        y = (X[:, 0] >= 4).astype(np.float64)
+        arr = np.concatenate([X, y[:, None]], axis=1)
+        p = str(tmp_path / f"train_part_{i}.h5")
+        save_hdf5(arr, p)
+        paths.append(p)
+    rc = dict(RC, topK=2)
+    gen = DataBlockGenerator(paths, batch_size=64, retrieval_configs=rc,
+                             retrieval_pool_fname="self",
+                             retrieval_augmented=True, shuffle=True)
+    valid = FakeGen(n=128, seed=2, shuffle=False)
+    tr = _trainer(tiny_feature_map, demo_params, tmp_path,
+                  embedding_regularizer=0, learning_rate=5e-3)
+    tr.fit(gen, validation_data=valid, epochs=6)
+    # learns the embedding-readable signal across streamed blocks
+    logs = tr.evaluate(valid)
+    assert logs["AUC"] > 0.8, logs
+
+
+def test_pretrained_embedding_frozen(tmp_path, demo_params, rng):
+    """pretrained_emb h5 loads into the table and freeze_emb blocks
+    gradients (embedding.py:123-136 semantics)."""
+    import jax
+    import jax.numpy as jnp
+    from rat_tpu.features import FeatureMap
+    from rat_tpu.nn.embedding import EmbeddingSpec, PackedEmbedding
+
+    pretrain = rng.randn(20, 4).astype(np.float32)
+    with h5py.File(str(tmp_path / "pretrained_user.h5"), "w") as hf:
+        hf.create_dataset("user", data=pretrain)
+    fm = FeatureMap("pre", str(tmp_path))
+    fm.feature_specs = {
+        "user": {"source": "", "type": "categorical", "vocab_size": 20,
+                 "index": 0, "pretrained_emb": "pretrained_user.h5",
+                 "freeze_emb": True, "embedding_dim": 4},
+        "item": {"source": "", "type": "categorical", "vocab_size": 10,
+                 "index": 1},
+    }
+    fm.num_fields, fm.num_features, fm.input_length = 2, 30, 2
+    spec = EmbeddingSpec.build(fm, 4)
+    emb = PackedEmbedding(spec, 4, data_dir=str(tmp_path))
+    X = jnp.asarray([[3, 2]], dtype=jnp.int32)
+    variables = emb.init(jax.random.PRNGKey(0), X)
+    out = np.asarray(emb.apply(variables, X))
+    # pretrained row loaded verbatim
+    np.testing.assert_allclose(out[0, 0], pretrain[3], rtol=1e-6)
+
+    # frozen: gradient w.r.t. the pretrained field's rows is zero
+    def loss(params):
+        return jnp.sum(emb.apply({"params": params}, X) ** 2)
+    g = jax.grad(loss)(variables["params"])["table"]
+    g = np.asarray(g)
+    assert np.all(g[:20] == 0), "pretrained rows must receive no gradient"
+    assert np.any(g[20:] != 0), "trainable rows must receive gradients"
+
+
+def test_eval_cadence_fractional_epochs(tiny_feature_map, demo_params, tmp_path):
+    """every_x_epochs=0.5 evaluates twice per epoch
+    (base_model.py:144-151,198)."""
+    train = FakeGen(n=512, seed=1, batch_size=64)  # 8 batches/epoch
+    valid = FakeGen(n=128, seed=2, shuffle=False)
+    tr = _trainer(tiny_feature_map, demo_params, tmp_path, patience=100,
+                  every_x_epochs=0.5)
+    calls = []
+    orig = tr.evaluate
+
+    def counting_eval(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    tr.evaluate = counting_eval
+    tr.fit(train, validation_data=valid, epochs=2)
+    # 2 epochs x 8 batches, eval every ceil(0.5*8)=4 batches -> 4 evals
+    assert len(calls) == 4, len(calls)
