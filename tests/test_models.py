@@ -124,6 +124,50 @@ def test_cross_intra_block_matches_numpy_oracle(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+def np_shared_q_attention(x, p, w_q, num_heads, dim_head):
+    """PA branch oracle: prenorm, shared Q, halved heads, dim_head scale
+    (RAT_m3.py:164-196)."""
+    xn = np_layernorm(x, np.asarray(p["LayerNorm_0"]["scale"]),
+                      np.asarray(p["LayerNorm_0"]["bias"]))
+    q = xn @ w_q
+    k = xn @ np.asarray(p["W_k"]["kernel"])
+    v = xn @ np.asarray(p["W_v"]["kernel"])
+    h = num_heads // 2  # the reference halves heads per branch
+
+    def split_heads(t):
+        b, n, inner = t.shape
+        return t.reshape(b, n, h, inner // h).transpose(0, 2, 1, 3)
+
+    q, k, v = map(split_heads, (q, k, v))
+    dots = np.einsum("bhid,bhjd->bhij", q, k) * dim_head ** -0.5
+    attn = softmax(dots, axis=-1)
+    out = np.einsum("bhij,bhjd->bhid", attn, v)
+    b, hh, n, dh = out.shape
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, hh * dh)
+    return out @ np.asarray(p["to_out"]["kernel"]) + np.asarray(p["to_out"]["bias"])
+
+
+def test_pa_block_matches_numpy_oracle(rng):
+    from rat_tpu.nn.encoders import CrossIntraEncoderBlockPA
+    d, heads, dim_head, hidden = 8, 4, 8, 16
+    block = CrossIntraEncoderBlockPA(d, heads, dim_head, 0.0, hidden)
+    x = rng.randn(2, 4, 5, d).astype(np.float32)
+    variables = block.init(jax.random.PRNGKey(2), jnp.asarray(x), train=False)
+    got = np.asarray(block.apply(variables, jnp.asarray(x), train=False))
+
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    w_q = p["W_q"]
+    b, n, s, _ = x.shape
+    out_s = np_shared_q_attention(x.reshape(b * n, s, d), p["intra_attention"],
+                                  w_q, heads, dim_head).reshape(b, n, s, d)
+    x2 = x.transpose(0, 2, 1, 3).reshape(b * s, n, d)
+    out_t = np_shared_q_attention(x2, p["cross_attention"], w_q, heads,
+                                  dim_head).reshape(b, s, n, d).transpose(0, 2, 1, 3)
+    out = (out_s + out_t) / 2
+    want = np_ff(out, p["mlp"]) + x  # sole residual: FF back to input
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_embedding_padding_row_zero_and_masked(tiny_feature_map):
     """Padding ids must embed to exact zeros (torch padding_idx contract)."""
     from rat_tpu.nn.embedding import EmbeddingSpec, PackedEmbedding
