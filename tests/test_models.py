@@ -78,10 +78,9 @@ def np_gelu(x):
     return 0.5 * x * (1.0 + erf(x / np.sqrt(2.0)))
 
 
-def np_attention(x, p, heads, dim_head):
-    qkv = x @ np.asarray(p["to_qkv"]["kernel"])
-    q, k, v = np.split(qkv, 3, axis=-1)
-
+def np_attention_core(q, k, v, heads, dim_head, p_out):
+    """Shared oracle core: head split, scaled dots, softmax, merge,
+    output projection."""
     def split_heads(t):
         b, n, inner = t.shape
         return t.reshape(b, n, heads, inner // heads).transpose(0, 2, 1, 3)
@@ -92,7 +91,13 @@ def np_attention(x, p, heads, dim_head):
     out = np.einsum("bhij,bhjd->bhid", attn, v)
     b, h, n, dh = out.shape
     out = out.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
-    return out @ np.asarray(p["to_out"]["kernel"]) + np.asarray(p["to_out"]["bias"])
+    return out @ np.asarray(p_out["kernel"]) + np.asarray(p_out["bias"])
+
+
+def np_attention(x, p, heads, dim_head):
+    qkv = x @ np.asarray(p["to_qkv"]["kernel"])
+    q, k, v = np.split(qkv, 3, axis=-1)
+    return np_attention_core(q, k, v, heads, dim_head, p["to_out"])
 
 
 def np_prenorm_attn(x, p, heads, dim_head):
@@ -132,19 +137,8 @@ def np_shared_q_attention(x, p, w_q, num_heads, dim_head):
     q = xn @ w_q
     k = xn @ np.asarray(p["W_k"]["kernel"])
     v = xn @ np.asarray(p["W_v"]["kernel"])
-    h = num_heads // 2  # the reference halves heads per branch
-
-    def split_heads(t):
-        b, n, inner = t.shape
-        return t.reshape(b, n, h, inner // h).transpose(0, 2, 1, 3)
-
-    q, k, v = map(split_heads, (q, k, v))
-    dots = np.einsum("bhid,bhjd->bhij", q, k) * dim_head ** -0.5
-    attn = softmax(dots, axis=-1)
-    out = np.einsum("bhij,bhjd->bhid", attn, v)
-    b, hh, n, dh = out.shape
-    out = out.transpose(0, 2, 1, 3).reshape(b, n, hh * dh)
-    return out @ np.asarray(p["to_out"]["kernel"]) + np.asarray(p["to_out"]["bias"])
+    # the reference halves heads per branch but keeps dim_head scaling
+    return np_attention_core(q, k, v, num_heads // 2, dim_head, p["to_out"])
 
 
 def test_pa_block_matches_numpy_oracle(rng):
