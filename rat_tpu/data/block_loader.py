@@ -39,8 +39,23 @@ class DataBlockGenerator(object):
         self.retrieval_pool_fname = retrieval_pool_fname
         self.retrieval_augmented = retrieval_augmented
         self.num_blocks = len(self.data_blocks)
+        self._pool_cache = None  # external pool h5 loaded at most once
         (self.num_batches, self.num_samples,
          self.num_positives, self.num_negatives) = self._count()
+
+    @property
+    def topk(self):
+        """Neighbor count per sample, without touching any block."""
+        if not self.retrieval_augmented or self.retrieval_configs is None:
+            return 0
+        k = self.retrieval_configs["topK"]
+        return 2 * k if self.retrieval_configs.get("label_wise") else k
+
+    def _pool_array(self):
+        if self._pool_cache is None:
+            self._pool_cache = load_hdf5(self.retrieval_pool_fname,
+                                         verbose=False)
+        return self._pool_cache
 
     def _count(self):
         num_samples = num_positives = num_batches = 0
@@ -73,8 +88,7 @@ class DataBlockGenerator(object):
             # documented reference TODO, data_generator.py:298)
             idx, vals, lens = _fold_self_retrieval(darray, rc)
         else:
-            db_array = load_hdf5(self.retrieval_pool_fname)
-            idx, vals, lens = _pool_retrieval(darray, db_array, rc)
+            idx, vals, lens = _pool_retrieval(darray, self._pool_array(), rc)
         save_hdf5(idx, cache, "indices")
         save_hdf5(vals, cache, "values")
         save_hdf5(lens, cache, "lens")
@@ -93,7 +107,7 @@ class DataBlockGenerator(object):
                 idx, vals, lens = self._block_retrieval(block_path, darray)
                 if self.retrieval_augmented:
                     pool = darray if self.retrieval_pool_fname == "self" \
-                        else load_hdf5(self.retrieval_pool_fname, verbose=False)
+                        else self._pool_array()
                     view.attach_retrieval(pool, idx, vals, lens)
                 else:
                     logging.info("[[WARNING]] dataloader provided retrieved "
@@ -121,6 +135,9 @@ class _BlockView(object):
         self.num_batches = int(np.ceil(self.num_samples / batch_size))
 
     def attach_retrieval(self, pool, idx, vals, lens):
+        assert len(self.darray) == len(idx) == len(vals) == len(lens), \
+            "retrieval cache length mismatch for this block " \
+            f"(block={len(self.darray)}, cache={len(idx)})"
         self.retrieval_augmented = True
         self.pool_darray = pool
         self.retr_indices = idx.astype(np.int64)

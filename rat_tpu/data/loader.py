@@ -224,15 +224,30 @@ def get_data_generator(data_path_list, batch_size=32, shuffle=False,
                        feature_map=None, retrieval_configs=None,
                        retrieval_pool_fname=None, retrieval_augmented=False,
                        **kwargs):
+    """1 block -> DataGenerator (whole split device-resident); >1 block
+    -> streaming DataBlockGenerator with per-block retrieval caches
+    (reference split at data_generator.py:479-508). Keeping the split
+    avoids cache-filename collisions between full-split and per-block
+    retrieval artifacts."""
     assert len(data_path_list) > 0, "invalid data files or paths."
-    return DataGenerator(data_path=data_path_list,
-                         batch_size=batch_size,
-                         shuffle=shuffle,
-                         feature_map=feature_map,
-                         retrieval_configs=retrieval_configs,
-                         retrieval_pool_fname=retrieval_pool_fname,
-                         retrieval_augmented=retrieval_augmented,
-                         **kwargs)
+    if len(data_path_list) == 1:
+        return DataGenerator(data_path=data_path_list,
+                             batch_size=batch_size,
+                             shuffle=shuffle,
+                             feature_map=feature_map,
+                             retrieval_configs=retrieval_configs,
+                             retrieval_pool_fname=retrieval_pool_fname,
+                             retrieval_augmented=retrieval_augmented,
+                             **kwargs)
+    from .block_loader import DataBlockGenerator
+    return DataBlockGenerator(data_block_list=data_path_list,
+                              batch_size=batch_size,
+                              shuffle=shuffle,
+                              feature_map=feature_map,
+                              retrieval_configs=retrieval_configs,
+                              retrieval_pool_fname=retrieval_pool_fname,
+                              retrieval_augmented=retrieval_augmented,
+                              **kwargs)
 
 
 def tfrecord_generator():

@@ -40,16 +40,27 @@ def get_optimizer(optimizer, lr, max_gradient_norm=10.):
     return opt
 
 
+def _inject_state(opt_state):
+    """Locate the InjectHyperparamsState whether or not the optimizer is
+    chained behind gradient clipping."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state
+    for part in opt_state:
+        if hasattr(part, "hyperparams"):
+            return part
+    raise ValueError("no injected-hyperparams state found in opt_state")
+
+
 def set_learning_rate(opt_state, lr):
-    """Update the injected learning rate inside a chained opt state."""
-    inner = opt_state[1]  # (clip_state, inject_state)
+    """Update the injected learning rate in place."""
+    inner = _inject_state(opt_state)
     inner.hyperparams["learning_rate"] = jnp.asarray(
         lr, dtype=inner.hyperparams["learning_rate"].dtype)
     return opt_state
 
 
 def get_learning_rate(opt_state):
-    return float(opt_state[1].hyperparams["learning_rate"])
+    return float(_inject_state(opt_state).hyperparams["learning_rate"])
 
 
 def get_regularizer(reg):

@@ -280,18 +280,15 @@ class Trainer(object):
         from ..data.block_loader import DataBlockGenerator
         self._block_mode = isinstance(train_gen, DataBlockGenerator)
         if self.state is None:
-            if self._block_mode:
-                first = next(train_gen.iter_block_views())
-                k = first.topk
-            else:
-                k = train_gen.topk
+            k = train_gen.topk
             L = self.feature_map.input_length or self.feature_map.num_fields
             self.init_state(np.zeros((2, 1 + k, L), np.int32),
                             np.zeros((2, 1 + k), np.float32))
         if self._jit_train_step is None:
             self._build_steps()
         self.valid_gen = validation_data
-        self._valid_data = self.device_split(validation_data)
+        self._valid_data = None if isinstance(validation_data, DataBlockGenerator) \
+            else self.device_split(validation_data)
         self._train_data = None if self._block_mode else self.device_split(train_gen)
         self._best_metric = np.inf if self._monitor_mode == "min" else -np.inf
         self._stopping_steps = 0
@@ -402,14 +399,25 @@ class Trainer(object):
             self.save_weights(self.checkpoint)
 
     # ---- evaluation -----------------------------------------------------
+    def _eval_stream(self, data_gen, data=None):
+        from ..data.block_loader import DataBlockGenerator
+        if isinstance(data_gen, DataBlockGenerator):
+            for view in data_gen.iter_block_views():
+                block_data = self.device_split(view)
+                for idx, valid in view.epoch_index_batches():
+                    yield block_data, idx, valid
+        else:
+            if data is None:
+                data = self.device_split(data_gen)
+            for idx, valid in data_gen.epoch_index_batches():
+                yield data, idx, valid
+
     def evaluate(self, data_gen, data=None):
         if self._jit_eval_step is None:
             self._build_steps()
-        if data is None:
-            data = self.device_split(data_gen)
         y_pred, y_true = [], []
-        for idx, valid in data_gen.epoch_index_batches():
-            p, t = self._jit_eval_step(self.state, data, jnp.asarray(idx))
+        for split_data, idx, valid in self._eval_stream(data_gen, data):
+            p, t = self._jit_eval_step(self.state, split_data, jnp.asarray(idx))
             y_pred.append(jax.device_get(p)[:valid])
             y_true.append(jax.device_get(t)[:valid])
         y_pred = np.concatenate(y_pred).astype(np.float64)
@@ -419,11 +427,9 @@ class Trainer(object):
     def predict(self, data_gen, data=None):
         if self._jit_eval_step is None:
             self._build_steps()
-        if data is None:
-            data = self.device_split(data_gen)
         y_pred = []
-        for idx, valid in data_gen.epoch_index_batches():
-            p, _ = self._jit_eval_step(self.state, data, jnp.asarray(idx))
+        for split_data, idx, valid in self._eval_stream(data_gen, data):
+            p, _ = self._jit_eval_step(self.state, split_data, jnp.asarray(idx))
             y_pred.append(jax.device_get(p)[:valid])
         return np.concatenate(y_pred).astype(np.float64)
 

@@ -19,19 +19,33 @@ from ..ops.pallas.cross_intra_block import (cross_intra_block_reference,
                                             fused_cross_intra_block)
 
 
-def _block_params(p, i):
+def _block_params(p, i, project_out):
+    """project_out mirrors the flax Attention: the output projection is
+    omitted when heads == 1 and dim_head == dim (RAT_m0.py:167); the
+    kernel then receives zero-sized placeholders it never reads."""
     blk = p["encoder"][f"CrossIntraEncoderBlock_{i}"]
+    intra = blk["intra_attention"]["Attention_0"]
+    cross = blk["cross_attention"]["Attention_0"]
+
+    def out_kernel(attn):
+        if project_out:
+            return attn["to_out"]["kernel"], attn["to_out"]["bias"]
+        d = attn["to_qkv"]["kernel"].shape[0]
+        return jnp.zeros((d, d)), jnp.zeros((d,))
+
+    w_out1, b_out1 = out_kernel(intra)
+    w_out2, b_out2 = out_kernel(cross)
     return {
         "ln1_scale": blk["intra_attention"]["LayerNorm_0"]["scale"],
         "ln1_bias": blk["intra_attention"]["LayerNorm_0"]["bias"],
-        "w_qkv1": blk["intra_attention"]["Attention_0"]["to_qkv"]["kernel"],
-        "w_out1": blk["intra_attention"]["Attention_0"]["to_out"]["kernel"],
-        "b_out1": blk["intra_attention"]["Attention_0"]["to_out"]["bias"],
+        "w_qkv1": intra["to_qkv"]["kernel"],
+        "w_out1": w_out1,
+        "b_out1": b_out1,
         "ln2_scale": blk["cross_attention"]["LayerNorm_0"]["scale"],
         "ln2_bias": blk["cross_attention"]["LayerNorm_0"]["bias"],
-        "w_qkv2": blk["cross_attention"]["Attention_0"]["to_qkv"]["kernel"],
-        "w_out2": blk["cross_attention"]["Attention_0"]["to_out"]["kernel"],
-        "b_out2": blk["cross_attention"]["Attention_0"]["to_out"]["bias"],
+        "w_qkv2": cross["to_qkv"]["kernel"],
+        "w_out2": w_out2,
+        "b_out2": b_out2,
         "ff_w1": blk["mlp"]["Dense_0"]["kernel"],
         "ff_b1": blk["mlp"]["Dense_0"]["bias"],
         "ff_w2": blk["mlp"]["Dense_1"]["kernel"],
@@ -104,14 +118,18 @@ def rat_m2_fast_forward(params, model, X, y, X_num=None, use_kernel=None,
     if pad_b:
         grid = jnp.concatenate(
             [grid, jnp.zeros((pad_b,) + grid.shape[1:], grid.dtype)], axis=0)
+    project_out = not (model.num_heads == 1 and model.dim_head == d)
     for i in range(model.depth):
-        bp = _block_params(params, i)
+        bp = _block_params(params, i, project_out)
         if use_kernel:
             grid = fused_cross_intra_block(grid, bp, model.num_heads,
-                                           model.dim_head, block_b=block_b)
+                                           model.dim_head,
+                                           project_out=project_out,
+                                           block_b=block_b)
         else:
             grid = cross_intra_block_reference(grid, bp, model.num_heads,
-                                               model.dim_head)
+                                               model.dim_head,
+                                               project_out=project_out)
     if pad_b:
         grid = grid[:B]
 

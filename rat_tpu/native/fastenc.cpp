@@ -25,18 +25,6 @@
 
 namespace {
 
-struct SvHash {
-  size_t operator()(std::string_view sv) const {
-    // FNV-1a
-    uint64_t h = 1469598103934665603ull;
-    for (char c : sv) {
-      h ^= static_cast<unsigned char>(c);
-      h *= 1099511628211ull;
-    }
-    return static_cast<size_t>(h);
-  }
-};
-
 using Vocab = std::unordered_map<std::string, int64_t, std::hash<std::string>>;
 
 // Build a C++ map from a Python dict {bytes|str: int}.

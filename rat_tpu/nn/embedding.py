@@ -90,41 +90,61 @@ class EmbeddingSpec:
             owner = spec.get("share_embedding", name) if use_pretrain else name
             feat_dim = force_dim if force_dim is not None \
                 else spec.get("embedding_dim", embedding_dim)
-            if owner not in offsets:
-                offsets[owner] = total_rows
-                owner_spec = feature_map.feature_specs[owner]
-                total_rows += owner_spec["vocab_size"]
-            base = offsets[owner]
             has_pretrained = use_pretrain and "pretrained_emb" in spec
             hook = has_pretrained and feat_dim != embedding_dim
-            if has_pretrained:
+            if hook:
+                # pretrained width != model width: the field gets its own
+                # [vocab, feat_dim] side table + a projection Dense
+                # (reference embedding_hooks, embedding.py:66-67); it
+                # cannot live in the uniform-width packed table
+                assert "share_embedding" not in spec, \
+                    "share_embedding with a hooked pretrained dim is unsupported"
                 pretrained[name] = {"file": spec["pretrained_emb"],
-                                    "offset": base,
-                                    "rows": feature_map.feature_specs[owner]["vocab_size"],
+                                    "offset": None, "side": True,
+                                    "rows": spec["vocab_size"],
+                                    "feat_dim": feat_dim,
                                     "freeze": spec.get("freeze_emb", True)}
+                base = -1
+            else:
+                if owner not in offsets:
+                    offsets[owner] = total_rows
+                    owner_spec = feature_map.feature_specs[owner]
+                    total_rows += owner_spec["vocab_size"]
+                base = offsets[owner]
+                if has_pretrained:
+                    pretrained[name] = {
+                        "file": spec["pretrained_emb"], "offset": base,
+                        "side": False,
+                        "rows": feature_map.feature_specs[owner]["vocab_size"],
+                        "freeze": spec.get("freeze_emb", True)}
             if ftype == "categorical":
                 pad = spec.get("padding_idx", -1)
                 if pad is None:
                     pad = -1
-                fields.append(_FieldSpec(name, "token", (slot,), (spec["index"],),
+                kind = "side_token" if hook else "token"
+                fields.append(_FieldSpec(name, kind, (slot,) if not hook else (),
+                                         (spec["index"],),
                                          pad, None, has_pretrained and
                                          spec.get("freeze_emb", True), hook, feat_dim))
-                token_cols.append(spec["index"])
-                token_offsets.append(base)
-                token_padding.append(pad)
-                slot += 1
+                if not hook:
+                    token_cols.append(spec["index"])
+                    token_offsets.append(base)
+                    token_padding.append(pad)
+                    slot += 1
             elif ftype == "sequence":
                 pad = spec["vocab_size"] - 1
                 idxs = tuple(spec["index"])
-                slots = tuple(range(slot, slot + len(idxs)))
-                fields.append(_FieldSpec(name, "seq", slots, idxs, pad,
+                kind = "side_seq" if hook else "seq"
+                slots = tuple(range(slot, slot + len(idxs))) if not hook else ()
+                fields.append(_FieldSpec(name, kind, slots, idxs, pad,
                                          spec.get("encoder", "MaskedAveragePooling"),
                                          has_pretrained and spec.get("freeze_emb", True),
                                          hook, feat_dim))
-                token_cols.extend(idxs)
-                token_offsets.extend([base] * len(idxs))
-                token_padding.extend([pad] * len(idxs))
-                slot += len(idxs)
+                if not hook:
+                    token_cols.extend(idxs)
+                    token_offsets.extend([base] * len(idxs))
+                    token_padding.extend([pad] * len(idxs))
+                    slot += len(idxs)
             else:
                 raise NotImplementedError("feature type={}".format(ftype))
         return EmbeddingSpec(fields=fields, total_rows=total_rows,
@@ -143,11 +163,18 @@ class EmbeddingSpec:
         if len(pad_rows):
             table = table.at[pad_rows].set(0.0)
         for name, info in self.pretrained.items():
+            if info.get("side"):
+                continue  # hooked fields live in their own side table
             path = os.path.join(data_dir or ".", info["file"])
             with h5py.File(path, "r") as hf:
                 emb = np.asarray(hf[name][:], dtype=np.float32)
             table = table.at[info["offset"]: info["offset"] + info["rows"]].set(emb)
         return table
+
+    def init_side_table(self, key, name, data_dir=None, std=1.e-4):
+        info = self.pretrained[name]
+        with h5py.File(os.path.join(data_dir or ".", info["file"]), "r") as hf:
+            return jnp.asarray(np.asarray(hf[name][:], dtype=np.float32))
 
 
 class PackedEmbedding(nn.Module):
@@ -182,6 +209,38 @@ class PackedEmbedding(nn.Module):
             if f.kind == "numeric":
                 pos = int(np.where(spec.numeric_cols == f.x_cols[0])[0][0])
                 outputs.append(num_vals[..., pos, None] * num_w[pos])
+            elif f.kind in ("side_token", "side_seq"):
+                # pretrained field with its own width: separate table +
+                # projection hook (reference embedding_hooks,
+                # embedding.py:66-67,175-176)
+                side = self.param(
+                    f"side_{f.name}",
+                    lambda key, _: spec.init_side_table(key, f.name,
+                                                        self.data_dir,
+                                                        self.init_std),
+                    None)
+                ids = X_tokens[..., f.x_cols[0]] if f.kind == "side_token" \
+                    else X_tokens[..., list(f.x_cols)]
+                vecs = jnp.take(side, ids, axis=0)
+                if f.padding_idx >= 0:
+                    m = (ids != f.padding_idx)
+                    vecs = vecs * m[..., None]
+                if f.frozen:
+                    vecs = jax.lax.stop_gradient(vecs)
+                if f.kind == "side_seq":
+                    if f.encoder == "MaskedSumPooling":
+                        vecs = jnp.sum(vecs, axis=-2)
+                    elif f.encoder == "MaskedAveragePooling":
+                        cnt = jnp.sum(ids != f.padding_idx, axis=-1,
+                                      keepdims=True)
+                        vecs = jnp.sum(vecs, axis=-2) / (cnt + 1e-16)
+                    else:
+                        raise RuntimeError("sequence encoder={} is not "
+                                           "supported.".format(f.encoder))
+                vec = nn.Dense(self.embedding_dim, use_bias=False,
+                               kernel_init=xavier_normal,
+                               name=f"hook_{f.name}")(vecs)
+                outputs.append(vec)
             else:
                 vecs = emb[..., f.token_slots[0]: f.token_slots[-1] + 1, :]
                 if f.frozen:
@@ -200,10 +259,6 @@ class PackedEmbedding(nn.Module):
                     else:
                         raise RuntimeError("sequence encoder={} is not supported."
                                            .format(f.encoder))
-                if f.hook:
-                    vec = nn.Dense(self.embedding_dim, use_bias=False,
-                                   kernel_init=xavier_normal,
-                                   name=f"hook_{f.name}")(vec)
                 outputs.append(vec)
         return jnp.stack(outputs, axis=-2)
 

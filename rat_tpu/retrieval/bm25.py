@@ -34,26 +34,23 @@ RetrievalResults = namedtuple("RetrievalResults", ["values", "indices", "lens"])
 
 
 def _compute_idf_tables(db_np_data):
-    """Per-column value -> log(N/count) dicts over the pool."""
+    """Per-column (sorted_keys, idf_values) over the pool — sorted ONCE
+    so every query batch is a plain searchsorted."""
     N = len(db_np_data)
     idf_tables = []
     for col in range(db_np_data.shape[1]):
-        counts = pd.Series(db_np_data[:, col]).value_counts()
-        idf = np.log(N / counts)
-        idf_tables.append(dict(zip(counts.index.to_numpy(), idf.to_numpy())))
+        keys, counts = np.unique(db_np_data[:, col], return_counts=True)
+        idf = np.log(N / counts).astype(np.float32)
+        idf_tables.append((keys.astype(np.int64), idf))
     return idf_tables
 
 
 def _map_to_idf(np_data, idf_tables):
     """IDF value per query cell; 0 for values unseen in the pool."""
     idf_data = np.zeros_like(np_data, dtype=np.float32)
-    for col, table in enumerate(idf_tables):
-        if len(table) == 0:
+    for col, (keys, vals) in enumerate(idf_tables):
+        if len(keys) == 0:
             continue
-        keys = np.fromiter(table.keys(), dtype=np.int64, count=len(table))
-        vals = np.fromiter(table.values(), dtype=np.float32, count=len(table))
-        order = np.argsort(keys, kind="mergesort")
-        keys, vals = keys[order], vals[order]
         pos = np.searchsorted(keys, np_data[:, col])
         pos_clip = np.clip(pos, 0, len(keys) - 1)
         hit = keys[pos_clip] == np_data[:, col]
@@ -216,26 +213,33 @@ def _exact_match_retrieval(db_np_data, qry_np_data, exact_match_col_indices,
         batch_keys = qry_keys[qry_idx: qry_idx + qry_batch_size]
         cand_lists = [np.asarray(db_groups[k], dtype=np.int64)
                       if k in db_groups else None for k in batch_keys]
-        for bi, cands in enumerate(cand_lists):
-            if cands is None:
-                continue  # no exact match: all -1 / zeros
-            gi = qry_idx + bi
-            if not has_rest or len(cands) <= topK:
-                # matched set fits in K (or nothing left to rank):
-                # every match scores 1 (data_utils.py:911-917,1039-1044)
-                take = cands[:topK]
+        matched = [(bi, c) for bi, c in enumerate(cand_lists) if c is not None]
+        if not matched:
+            continue
+        # the reference branches at BATCH level on the largest matched
+        # group (exm_max_size_batch, data_utils.py:906,911): a batch
+        # whose biggest group fits in topK takes the flat path for ALL
+        # its queries; otherwise every matched query is BM25-scored
+        exm_max_size = max(len(c) for _, c in matched)
+        if not has_rest or exm_max_size <= topK:
+            for bi, cands in matched:
+                gi = qry_idx + bi
+                take = cands[:topK]  # truncation only bites when no rest cols
                 topK_indices[gi, :len(take)] = take
                 topK_values[gi, :len(take)] = 1.0
                 topK_lens[gi] = len(take)
-            else:
+        else:
+            for bi, cands in matched:
+                gi = qry_idx + bi
                 qrow = qry_rest[gi:gi + 1]
                 qidf = _map_to_idf(qrow, idf_tables)
                 scores = np.asarray(_pairwise_scores(
                     jnp.asarray(qrow, dtype=jnp.int32), jnp.asarray(qidf),
                     jnp.asarray(db_rest[cands], dtype=jnp.int32)))[0]
-                scores = scores + 1.0  # every candidate is a valid exact match
+                scores = scores + 1.0  # every candidate is an exact match
                 order = np.argsort(-scores, kind="stable")[:topK]
-                topK_indices[gi] = cands[order]
-                topK_values[gi] = scores[order]
-                topK_lens[gi] = topK
+                take = cands[order]
+                topK_indices[gi, :len(take)] = take
+                topK_values[gi, :len(take)] = scores[order]
+                topK_lens[gi] = len(take)
     logging.debug("exact-match retrieval done for %d queries", Q)
