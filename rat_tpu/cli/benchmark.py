@@ -107,14 +107,16 @@ def bench_eval(steps=100):
             "unit": "examples/s", "vs_baseline": round(eps / REF["eval"], 3)}
 
 
-def bench_retrieval(n_db=200_000, n_qry=10_000, topk=5):
+def bench_retrieval(n_db=200_000, n_qry=100_000, topk=5):
     from ..retrieval import bm25_topk_retrieval
     rng = np.random.RandomState(0)
     db = np.stack([rng.randint(0, 61000, n_db), rng.randint(0, 17000, n_db),
                    rng.randint(0, 12000, n_db)], axis=1)
     q = db[rng.randint(0, n_db, n_qry)]
-    # warm/compile
-    bm25_topk_retrieval(db, q[:2048], qry_batch_size=2048,
+    # warm/compile with the full query shape (the device program scans
+    # all query batches in one dispatch, so its shape includes the batch
+    # count)
+    bm25_topk_retrieval(db, q, qry_batch_size=2048,
                         db_chunk_size=50_000, topK=topk)
     tic = time.perf_counter()
     bm25_topk_retrieval(db, q, qry_batch_size=2048, db_chunk_size=50_000,

@@ -1,19 +1,25 @@
-"""Pallas TPU kernel: BM25 chunk scoring.
+"""Pallas TPU kernels for the BM25 pool scan.
 
-The BM25 pool scan's inner loop scores a query batch against one pool
-chunk: ``scores[b, c] = sum_f 1[qry[b,f] == db[c,f]] * idf[b,f]``
-(reference math at data_utils.py:1012; XLA path in
-rat_tpu/retrieval/bm25.py::_scan_topk). This kernel fuses the
-compare+weight+reduce for one (query-block, chunk-block) tile in VMEM,
-iterating fields in SMEM-friendly unrolled form, with the pool chunk
-grid-streamed HBM->VMEM by the pallas pipeline.
+The scan's inner loop scores a query batch against the pool:
+``scores[b, c] = sum_f 1[qry[b,f] == db[c,f]] * idf[b,f]`` (reference
+math at data_utils.py:1012; XLA path in
+rat_tpu/retrieval/bm25.py::_scan_topk).
 
-The top-k merge stays in XLA (`lax.top_k` over the scored tile) — at
-K<=10 the merge is negligible next to the O(B*C*F) scoring.
+Two kernels:
 
-Numerics are exact (integer compares + fp32 adds), so the kernel is
-interchangeable with the XLA scorer; `bm25_score_chunk` dispatches to
-Pallas on TPU and the jnp fallback elsewhere.
+- ``bm25_topk_fused_pallas`` (the production path, dispatched by the
+  retrieval engine on TPU): scores one (query-block, chunk-block) tile
+  in VMEM and folds it straight into a VMEM-resident running top-K
+  accumulator — the [B, C] score matrix never touches HBM, unlike the
+  XLA scan whose per-chunk ``lax.top_k`` round-trips it. Measured on
+  v5e at B=2048/F=3/K=5 against a 200k pool: ~4.6 ms/batch (~90G
+  row-scores/s) vs ~15.4 ms for the XLA scan.
+- ``bm25_score_chunk_pallas``: scoring only (top-k merge left to XLA) —
+  kept as the minimal-kernel baseline and for score-matrix consumers.
+
+Numerics are exact (integer compares + fp32 adds, lexicographic
+(score desc, pool index asc) tie-breaking), so both kernels are
+interchangeable with the XLA scorer.
 """
 
 from functools import partial
@@ -82,3 +88,125 @@ def bm25_score_chunk(qry, qry_idf, db_chunk, use_kernel=None):
     if use_kernel:
         return bm25_score_chunk_pallas(qry, qry_idf, db_chunk)
     return bm25_score_chunk_reference(qry, qry_idf, db_chunk)
+
+
+_I32_MAX = 2**31 - 1
+
+
+def _fused_topk_kernel(nvalid_ref, qry_ref, idf_ref, db_ref,
+                       outv_ref, outi_ref):
+    """One (query-block, chunk-block) tile: score in VMEM and fold into
+    the running per-query top-K accumulator (outv/outi stay VMEM-resident
+    across the chunk grid dimension because their block index ignores j).
+
+    qry/idf: [BQ, F]; db: [F, BC] (field-major so the lane dim is the
+    pool axis); outv: [BQ, K] f32; outi: [BQ, K] i32.
+
+    Selection is exact lexicographic (score desc, pool index asc) via K
+    masked-max passes — identical tie-breaking to the XLA path's
+    chunk-major ``lax.top_k`` merge (bm25.py::_scan_topk).
+    """
+    j = pl.program_id(1)
+    BQ, F = qry_ref.shape
+    BC = db_ref.shape[1]
+    K = outv_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        outv_ref[:] = jnp.full(outv_ref.shape, -jnp.inf, jnp.float32)
+        outi_ref[:] = jnp.full(outi_ref.shape, _I32_MAX, jnp.int32)
+
+    qry = qry_ref[:]
+    idf = idf_ref[:]
+    db = db_ref[:]
+    scores = jnp.zeros((BQ, BC), dtype=jnp.float32)
+    for f in range(F):  # F is tiny (3-11): unrolled, keeps rank-2 layouts
+        eq = qry[:, f][:, None] == db[f, :][None, :]
+        scores = scores + eq.astype(jnp.float32) * idf[:, f][:, None]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (BQ, BC), 1) + j * BC
+    # rows past the true pool length are padding: force score 0 (they are
+    # then dropped to index -1 by the zero-score finalize, like the XLA
+    # path's db_valid_len mask)
+    scores = jnp.where(col < nvalid_ref[0], scores, 0.0)
+
+    # fold tile + running accumulator: K exact lexicographic selection
+    # passes (score desc, pool index asc — identical tie-breaking to the
+    # XLA path's chunk-major lax.top_k merge). Real scores are >= 0 >
+    # -inf and BC >= K, so the -inf init entries are never selected;
+    # global indices are unique, so masking by (ci == sel) removes
+    # exactly the selected element.
+    #
+    # Measured notes (v5e, B=2048 vs 200k pool, F=3, K=5): this flat
+    # form runs ~4.6 ms/batch at (block_q=128, block_c=4096) — VPU-peak
+    # for its ~39 ops/row-score. Two "smarter" variants measured WORSE:
+    # a per-128-lane group-max hierarchy (rank-3 reshape + cross-sublane
+    # reductions => Mosaic relayouts, 3x slower) and a theta threshold
+    # skip (rarely triggers under sparse-match data, costs an extra
+    # reduce + branch duplication that breaks larger-block compiles).
+    work = jnp.concatenate([scores, outv_ref[:]], axis=1)
+    gidx = jnp.concatenate([col, outi_ref[:]], axis=1)
+    nv, ni = [], []
+    for _ in range(K):
+        m = jnp.max(work, axis=1, keepdims=True)
+        ci = jnp.where(work == m, gidx, _I32_MAX)
+        sel = jnp.min(ci, axis=1, keepdims=True)
+        nv.append(m)
+        ni.append(sel)
+        work = jnp.where(ci == sel, -jnp.inf, work)
+    outv_ref[:] = jnp.concatenate(nv, axis=1)
+    outi_ref[:] = jnp.concatenate(ni, axis=1)
+
+
+def _pick_block_q(B, cap):
+    """Largest divisor of B <= cap that satisfies the TPU sublane rule
+    (divisible by 8); fall back to the whole array (always legal)."""
+    for d in range(min(cap, B), 7, -1):
+        if B % d == 0 and d % 8 == 0:
+            return d
+    return B
+
+
+@partial(jax.jit, static_argnames=("topk", "block_q", "block_c", "interpret"))
+def bm25_topk_fused_pallas(qry, qry_idf, db_T_padded, db_valid_len, topk,
+                           block_q=256, block_c=4096, interpret=False):
+    """Fused BM25 score + running top-K over the whole pool.
+
+    qry: [B, F] int32, qry_idf: [B, F] f32, db_T_padded: [F, C] int32
+    with C % block_c == 0 (pad upstream; padded rows may hold anything —
+    they are masked by db_valid_len). Returns (values [B, K] f32,
+    indices [B, K] i32, -1 NOT yet applied to zero scores).
+
+    Unlike the XLA scan this never materializes [B, C] scores to HBM —
+    the tile scores live and die in VMEM, so HBM traffic is just the
+    pool stream plus [B, K] outputs.
+    """
+    B, F = qry.shape
+    C = db_T_padded.shape[1]
+    block_q = _pick_block_q(B, block_q)
+    assert C % block_c == 0 and block_c >= topk, (C, block_c, topk)
+    grid = (B // block_q, C // block_c)
+    nvalid = jnp.asarray(db_valid_len, dtype=jnp.int32).reshape(1)
+    outv, outi = pl.pallas_call(
+        _fused_topk_kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, topk), jnp.float32),
+                   jax.ShapeDtypeStruct((B, topk), jnp.int32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_q, F), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, F), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, block_c), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((block_q, topk), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((block_q, topk), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(nvalid, qry, qry_idf, db_T_padded)
+    return outv, outi
