@@ -26,6 +26,118 @@ from .io import load_hdf5, save_hdf5
 from .loader import _fold_self_retrieval, _pool_retrieval
 
 
+def _union_idf_tables(block_arrays, used_cols):
+    """Per-column ``log(N/count)`` IDF over the union of blocks,
+    accumulated streaming (one block in memory at a time)."""
+    from collections import Counter
+    counters = [Counter() for _ in used_cols]
+    N = 0
+    for arr in block_arrays():
+        data = arr[:, used_cols].astype(np.int64)
+        N += len(data)
+        for c in range(data.shape[1]):
+            keys, counts = np.unique(data[:, c], return_counts=True)
+            counters[c].update(dict(zip(keys.tolist(), counts.tolist())))
+    tables = []
+    for c in range(len(used_cols)):
+        keys = np.array(sorted(counters[c]), dtype=np.int64)
+        counts = np.array([counters[c][k] for k in keys], dtype=np.float64)
+        idf = np.log(N / counts).astype(np.float32)
+        tables.append((keys, idf))
+    return tables, N
+
+
+def _inter_block_retrieval(block_paths, qry_block_index, qry_darray,
+                           retrieval_configs):
+    """Retrieve block ``qry_block_index``'s rows against the union of all
+    OTHER blocks — the streaming-mode retrieval the reference leaves as a
+    TODO (data_generator.py:298, intra-block only).
+
+    Design: one db block is resident at a time. IDF statistics come from
+    the union pool (first streaming pass); each db block is then scored
+    with those shared tables and its top-K merged into the running best
+    on host with the engine's (score desc, global index asc) tie-break.
+    Because the training pool for a block view would otherwise be the
+    whole dataset, the selected neighbor ROWS are materialized into the
+    per-block cache (``neighbor_rows`` [N, K, F+1]) so neither training
+    nor eval ever needs more than one block in memory.
+
+    Global indices refer to the concatenation of ALL blocks in file
+    order (the query block's own rows are never selected). Dropped
+    neighbors (score 0 -> index -1) materialize the union pool's last
+    row, mirroring the single-block path's -1 gather wrap.
+
+    Returns (indices [N, K] i64, values [N, K] f64, lens [N] i64,
+    neighbor_rows [N, K, F+1]).
+    """
+    from ..retrieval import bm25_topk_retrieval
+    rc = retrieval_configs
+    assert not rc.get("label_wise", False), \
+        "inter_block_retrieval does not support label_wise"
+    assert not rc.get("exact_match_col_indices"), \
+        "inter_block_retrieval does not support exact_match_cols"
+    used_cols = rc["used_col_indices"]
+    topK = rc["topK"]
+
+    others = [(j, p) for j, p in enumerate(block_paths)
+              if j != qry_block_index]
+
+    def other_arrays():
+        for _, p in others:
+            yield load_hdf5(p, verbose=False)
+
+    idf_tables, _ = _union_idf_tables(other_arrays, used_cols)
+
+    block_rows = []
+    offsets = np.zeros(len(block_paths), dtype=np.int64)
+    # offsets into the all-blocks concatenation (query block included)
+    n_prev = 0
+    for j, p in enumerate(block_paths):
+        if j == qry_block_index:
+            n = len(qry_darray)
+        else:
+            with h5py.File(p, "r") as hf:
+                n = hf[list(hf.keys())[0]].shape[0]
+        offsets[j] = n_prev
+        block_rows.append(n)
+        n_prev += n
+
+    qry = qry_darray[:, used_cols].astype(int)
+    N = len(qry)
+    Fp1 = qry_darray.shape[1]
+    best_v = np.zeros((N, 0), dtype=np.float64)
+    best_i = np.zeros((N, 0), dtype=np.int64)
+    best_rows = np.zeros((N, 0, Fp1), dtype=qry_darray.dtype)
+    last_row = None
+    for j, p in others:
+        db_arr = load_hdf5(p, verbose=False)
+        last_row = db_arr[-1]
+        res = bm25_topk_retrieval(db_np_data=db_arr[:, used_cols].astype(int),
+                                  qry_np_data=qry, idf_tables=idf_tables,
+                                  **{k: v for k, v in rc.items()
+                                     if k != "exact_match_col_indices"})
+        keep = res.values > 0
+        loc = np.where(keep, res.indices, 0)
+        rows = db_arr[loc]                       # [N, K, F+1]
+        gidx = np.where(keep, res.indices + offsets[j], 2**62)
+        vals = np.where(keep, res.values, -1.0)  # dropped always lose
+        best_v = np.concatenate([best_v, vals], axis=1)
+        best_i = np.concatenate([best_i, gidx], axis=1)
+        best_rows = np.concatenate([best_rows, rows], axis=1)
+        # keep only the running top-K: sort by (score desc, index asc)
+        order = np.lexsort((best_i, -best_v))[:, :topK]
+        best_v = np.take_along_axis(best_v, order, axis=1)
+        best_i = np.take_along_axis(best_i, order, axis=1)
+        best_rows = np.take_along_axis(best_rows, order[..., None], axis=1)
+    drop = best_v <= 0
+    values = np.where(drop, 0.0, best_v)
+    indices = np.where(drop, -1, best_i)
+    lens = (~drop).sum(-1).astype(np.int64)
+    neighbor_rows = np.where(drop[..., None], last_row[None, None, :],
+                             best_rows)
+    return indices, values, lens, neighbor_rows
+
+
 class DataBlockGenerator(object):
     def __init__(self, data_block_list, batch_size=32, shuffle=False,
                  feature_map=None, retrieval_configs=None,
@@ -75,24 +187,40 @@ class DataBlockGenerator(object):
         return num_batches, num_samples, num_positives, num_samples - num_positives
 
     def _block_retrieval(self, block_path, darray):
+        """Returns (indices, values, lens, neighbor_rows-or-None)."""
         rc = self.retrieval_configs
         assert rc.get("pre_retrieval", True), \
             "only the pre-retrieval strategy is implemented"
+        inter_block = (self.retrieval_pool_fname == "self"
+                       and rc.get("inter_block_retrieval", False)
+                       and self.num_blocks > 1)
         data_root, data_fname = os.path.split(block_path)
-        cache = os.path.join(data_root, f'retrieval_{rc["topK"]}_' + data_fname)
+        tag = "inter_" if inter_block else ""
+        cache = os.path.join(data_root,
+                             f'retrieval_{tag}{rc["topK"]}_' + data_fname)
         if os.path.exists(cache):
+            with h5py.File(cache, "r") as hf:
+                has_rows = "neighbor_rows" in hf
             return (load_hdf5(cache, "indices"), load_hdf5(cache, "values"),
-                    load_hdf5(cache, "lens"))
-        if self.retrieval_pool_fname == "self":
-            # intra-block X-fold retrieval (inter-block retrieval is a
-            # documented reference TODO, data_generator.py:298)
+                    load_hdf5(cache, "lens"),
+                    load_hdf5(cache, "neighbor_rows") if has_rows else None)
+        rows = None
+        if inter_block:
+            bi = self.data_blocks.index(block_path)
+            idx, vals, lens, rows = _inter_block_retrieval(
+                self.data_blocks, bi, darray, rc)
+            save_hdf5(rows, cache, "neighbor_rows")
+        elif self.retrieval_pool_fname == "self":
+            # intra-block X-fold retrieval (reference behavior; see
+            # _inter_block_retrieval for the cross-block mode the
+            # reference TODOs at data_generator.py:298)
             idx, vals, lens = _fold_self_retrieval(darray, rc)
         else:
             idx, vals, lens = _pool_retrieval(darray, self._pool_array(), rc)
         save_hdf5(idx, cache, "indices")
         save_hdf5(vals, cache, "values")
         save_hdf5(lens, cache, "lens")
-        return idx, vals, lens
+        return idx, vals, lens, rows
 
     def iter_block_views(self, rng=None):
         """Yield one DataGenerator-shaped view per block, ready for
@@ -104,11 +232,21 @@ class DataBlockGenerator(object):
             darray = load_hdf5(block_path, verbose=False)
             view = _BlockView(darray, self.batch_size, self.shuffle)
             if self.retrieval_configs is not None:
-                idx, vals, lens = self._block_retrieval(block_path, darray)
+                idx, vals, lens, rows = self._block_retrieval(block_path, darray)
                 if self.retrieval_augmented:
-                    pool = darray if self.retrieval_pool_fname == "self" \
-                        else self._pool_array()
-                    view.attach_retrieval(pool, idx, vals, lens)
+                    if rows is not None:
+                        # inter-block mode: neighbors were materialized at
+                        # retrieval time, so the "pool" is just the flat
+                        # row store and the gather is the identity layout
+                        n, k = rows.shape[:2]
+                        pool = rows.reshape(n * k, -1)
+                        gather_idx = np.arange(n * k,
+                                               dtype=np.int64).reshape(n, k)
+                        view.attach_retrieval(pool, gather_idx, vals, lens)
+                    else:
+                        pool = darray if self.retrieval_pool_fname == "self" \
+                            else self._pool_array()
+                        view.attach_retrieval(pool, idx, vals, lens)
                 else:
                     logging.info("[[WARNING]] dataloader provided retrieved "
                                  "samples but the model doesn't enable "

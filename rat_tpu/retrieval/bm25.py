@@ -250,12 +250,19 @@ def bm25_topk_retrieval(db_np_data, qry_np_data,
                         db_chunk_size=None,
                         topK=10,
                         mega_batches=128,
+                        idf_tables=None,
                         **kwargs):
     """Retrieve the topK most similar pool rows for each query row.
 
     The device program processes ``mega_batches`` query batches per
     dispatch (one host↔device round-trip each); lower it only to bound
     single-dispatch latency on interactive runs.
+
+    ``idf_tables`` overrides the per-column IDF statistics (as produced
+    by ``_compute_idf_tables``) — used when this pool is one shard of a
+    larger logical pool (e.g. inter-block retrieval scores each block
+    with union-pool IDF). Not supported together with
+    ``exact_match_col_indices``.
 
     Returns RetrievalResults(values [Q,K] f64, indices [Q,K] i64 with -1
     padding, lens [Q] i64).
@@ -268,13 +275,16 @@ def bm25_topk_retrieval(db_np_data, qry_np_data,
     topK_lens = np.zeros(Q, dtype=np.int64)
 
     if exact_match_col_indices:
+        assert idf_tables is None, \
+            "idf_tables override is not supported with exact_match_cols"
         _exact_match_retrieval(db_np_data, qry_np_data, exact_match_col_indices,
                                qry_batch_size, topK,
                                topK_values, topK_indices, topK_lens)
         return RetrievalResults(topK_values, topK_indices, topK_lens)
 
     N = len(db_np_data)
-    idf_tables = _compute_idf_tables(db_np_data)
+    if idf_tables is None:
+        idf_tables = _compute_idf_tables(db_np_data)
     idf_pack = _pack_idf_dense(idf_tables)
     dense_idf = idf_pack is not None
     if not dense_idf:

@@ -110,3 +110,75 @@ def test_eval_cadence_fractional_epochs(tiny_feature_map, demo_params, tmp_path)
     tr.fit(train, validation_data=valid, epochs=2)
     # 2 epochs x 8 batches, eval every ceil(0.5*8)=4 batches -> 4 evals
     assert len(calls) == 4, len(calls)
+
+
+def test_inter_block_retrieval_matches_bruteforce(tmp_path):
+    """Inter-block mode == brute-force retrieval against the concatenated
+    other blocks with union-pool IDF (indices mapped to the all-blocks
+    index space), with neighbor rows materialized."""
+    from rat_tpu.retrieval import bm25_topk_retrieval
+    from rat_tpu.retrieval.bm25 import _compute_idf_tables
+
+    paths, arrs = [], []
+    for i in range(3):
+        p = str(tmp_path / f"train_part_{i}.h5")
+        arrs.append(_write_split(p, n=40, seed=i))
+        paths.append(p)
+    rc = dict(RC, inter_block_retrieval=True)
+    gen = DataBlockGenerator(paths, batch_size=16, retrieval_configs=rc,
+                             retrieval_pool_fname="self",
+                             retrieval_augmented=True)
+    views = list(gen.iter_block_views())
+    for b, view in enumerate(views):
+        cache = str(tmp_path / f"retrieval_inter_4_train_part_{b}.h5")
+        assert os.path.exists(cache)
+        with h5py.File(cache, "r") as hf:
+            idx = hf["indices"][()]
+            vals = hf["values"][()]
+            lens = hf["lens"][()]
+            rows = hf["neighbor_rows"][()]
+        others = [arrs[j] for j in range(3) if j != b]
+        pool = np.concatenate(others, axis=0)
+        res = bm25_topk_retrieval(
+            pool[:, :3].astype(int), arrs[b][:, :3].astype(int),
+            topK=4, idf_tables=_compute_idf_tables(pool[:, :3].astype(int)))
+        # map other-concat positions to all-blocks positions
+        exp_idx = res.indices.copy()
+        own_start = b * 40
+        shift = exp_idx >= own_start
+        exp_idx = np.where(exp_idx < 0, -1,
+                           np.where(shift, exp_idx + 40, exp_idx))
+        np.testing.assert_allclose(vals, res.values)
+        np.testing.assert_array_equal(idx, exp_idx)
+        np.testing.assert_array_equal(lens, res.lens)
+        # materialized rows equal the pool rows (dropped -> union last row)
+        exp_rows = np.where((res.indices < 0)[..., None], pool[-1][None, None],
+                            pool[np.where(res.indices < 0, 0, res.indices)])
+        np.testing.assert_array_equal(rows, exp_rows)
+        # view gathers from the materialized store with identity layout
+        assert view.retrieval_augmented
+        g = view.neighbor_gather_indices()
+        np.testing.assert_array_equal(view.pool_darray[g[5]], rows[5])
+
+
+def test_inter_block_training_smoke(tiny_feature_map, demo_params, tmp_path):
+    """The trainer consumes materialized-neighbor block views unchanged."""
+    paths = []
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        X = rng.randint(1, 8, (128, 3))
+        y = (X[:, 0] >= 4).astype(np.float64)
+        arr = np.concatenate([X, y[:, None]], axis=1)
+        p = str(tmp_path / f"train_part_{i}.h5")
+        save_hdf5(arr, p)
+        paths.append(p)
+    rc = dict(RC, topK=2, inter_block_retrieval=True)
+    gen = DataBlockGenerator(paths, batch_size=64, retrieval_configs=rc,
+                             retrieval_pool_fname="self",
+                             retrieval_augmented=True, shuffle=True)
+    valid = FakeGen(n=128, seed=2, shuffle=False)
+    tr = _trainer(tiny_feature_map, demo_params, tmp_path,
+                  embedding_regularizer=0, learning_rate=5e-3)
+    tr.fit(gen, validation_data=valid, epochs=6)
+    logs = tr.evaluate(valid)
+    assert logs["AUC"] > 0.8, logs
