@@ -8,6 +8,12 @@ score+top-k as the single-chip engine, then the per-shard top-K
 winners are all-gathered over ICI and merged on every chip — a
 K-sized collective instead of an N-sized one.
 
+Like the single-device driver (bm25.py), the whole retrieval runs as
+one jitted program per mega-batch: the scan over query batches, the
+device-side IDF lookup, and the zero-score finalize all happen on
+device, so there is a single host↔device round-trip per mega-batch
+regardless of the query count.
+
 Built with ``shard_map`` so the collective structure is explicit;
 numerics are identical to the single-device engine (tested on the
 8-virtual-device CPU mesh).
@@ -21,8 +27,9 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from .bm25 import (RetrievalResults, _compute_idf_tables, _finalize,
-                   _map_to_idf, _round_up)
+from .bm25 import (RetrievalResults, _compute_idf_tables, _idf_lookup,
+                   _idf_lookup_dense, _pack_idf_dense, _pack_idf_tables,
+                   _round_up)
 
 
 def _local_scan_topk(db_local, qry, qry_idf, first_row, n_db, topk, chunk_size):
@@ -50,45 +57,68 @@ def _local_scan_topk(db_local, qry, qry_idf, first_row, n_db, topk, chunk_size):
     return v, jnp.take_along_axis(idxs, sel, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("topk", "chunk_size", "mesh", "axis"))
-def _sharded_scan(db_padded, qry, qry_idf, n_db, topk, chunk_size, mesh,
-                  axis="data"):
+@partial(jax.jit, static_argnames=("topk", "chunk_size", "mesh", "axis",
+                                   "dense_idf"))
+def _sharded_scan_batched(db_padded, qry_batches, idf_pack, n_db, topk,
+                          chunk_size, mesh, axis="data", dense_idf=True):
+    """One device program: scan over query batches, each batch scoring
+    every pool shard in parallel and merging the all-gathered winners.
+
+    qry_batches: [nb, B, F] int32 (replicated).
+    Returns (values [nb, B, K] f32, indices [nb, B, K] i32 with -1 for
+    dropped zero-score hits, lens [nb, B] i32) — replicated.
+    """
     n_shards = mesh.shape[axis]
     shard_rows = db_padded.shape[0] // n_shards
 
-    def shard_fn(db_local, qry, qry_idf):
+    def shard_fn(db_local, qry_batches, n_db, *idf_pack):
         first_row = jax.lax.axis_index(axis).astype(jnp.int32) * shard_rows
-        v, i = _local_scan_topk(db_local, qry, qry_idf, first_row, n_db,
-                                topk, chunk_size)
-        # ICI collective: gather every shard's K winners, merge locally
-        vs = jax.lax.all_gather(v, axis)            # [n_shards, B, K]
-        is_ = jax.lax.all_gather(i, axis)
-        B = qry.shape[0]
-        vs = jnp.moveaxis(vs, 0, 1).reshape(B, -1)
-        is_ = jnp.moveaxis(is_, 0, 1).reshape(B, -1)
-        mv, sel = jax.lax.top_k(vs, topk)
-        mi = jnp.take_along_axis(is_, sel, axis=-1)
-        return mv, mi
 
-    spec_db = P(axis, None)
-    spec_rep = P(None, None)
+        def body(carry, qry):
+            if dense_idf:
+                qry_idf = _idf_lookup_dense(qry, *idf_pack)
+            else:
+                qry_idf = _idf_lookup(qry, *idf_pack)
+            v, i = _local_scan_topk(db_local, qry, qry_idf, first_row,
+                                    n_db[0], topk, chunk_size)
+            # ICI collective: gather every shard's K winners, merge
+            # locally; shard-major concat keeps the lowest-index winner
+            # on score ties
+            vs = jax.lax.all_gather(v, axis)        # [n_shards, B, K]
+            is_ = jax.lax.all_gather(i, axis)
+            B = qry.shape[0]
+            vs = jnp.moveaxis(vs, 0, 1).reshape(B, -1)
+            is_ = jnp.moveaxis(is_, 0, 1).reshape(B, -1)
+            mv, sel = jax.lax.top_k(vs, topk)
+            mi = jnp.take_along_axis(is_, sel, axis=-1)
+            drop = mv == 0
+            mi = jnp.where(drop, -1, mi)
+            lens = jnp.sum(~drop, axis=-1).astype(jnp.int32)
+            return carry, (mv, mi, lens)
+
+        _, out = jax.lax.scan(body, None, qry_batches)
+        return out
+
+    rep = P(*((None,) * 2))
+    idf_specs = tuple(P(*((None,) * a.ndim)) for a in idf_pack)
+    kwargs = dict(mesh=mesh,
+                  in_specs=(P(axis, None), P(None, None, None), P(None))
+                  + idf_specs,
+                  out_specs=(P(None, None, None),) * 2 + (rep,))
     # outputs are replicated by construction (every shard merges the
     # same all-gathered winners) but the replication checker cannot
     # infer that through top_k -> disable the static check
     try:
-        smap = shard_map(shard_fn, mesh=mesh,
-                         in_specs=(spec_db, spec_rep, spec_rep),
-                         out_specs=(spec_rep, spec_rep), check_vma=False)
+        smap = shard_map(shard_fn, check_vma=False, **kwargs)
     except TypeError:
-        smap = shard_map(shard_fn, mesh=mesh,
-                         in_specs=(spec_db, spec_rep, spec_rep),
-                         out_specs=(spec_rep, spec_rep), check_rep=False)
-    return smap(db_padded, qry, qry_idf)
+        smap = shard_map(shard_fn, check_rep=False, **kwargs)
+    return smap(db_padded, qry_batches, n_db.reshape(1), *idf_pack)
 
 
 def sharded_bm25_topk_retrieval(db_np_data, qry_np_data, mesh,
                                 qry_batch_size=None, db_chunk_size=None,
-                                topK=10, axis="data", **kwargs):
+                                topK=10, axis="data", mega_batches=128,
+                                **kwargs):
     """Drop-in variant of bm25_topk_retrieval with the pool scan sharded
     over ``mesh`` axis ``axis``. Exact-match prefilter is not supported
     on this path (none of the RAT configs use it)."""
@@ -99,7 +129,13 @@ def sharded_bm25_topk_retrieval(db_np_data, qry_np_data, mesh,
     Q, N = len(qry_np_data), len(db_np_data)
     n_shards = mesh.shape[axis]
     idf_tables = _compute_idf_tables(db_np_data)
-    qry_batch_size = Q if qry_batch_size is None else qry_batch_size
+    idf_pack = _pack_idf_dense(idf_tables)
+    dense_idf = idf_pack is not None
+    if not dense_idf:
+        idf_pack = _pack_idf_tables(idf_tables)
+    qry_batch_size = Q if qry_batch_size is None else min(qry_batch_size,
+                                                          max(Q, 1))
+    qry_batch_size = max(qry_batch_size, 1)
     chunk_size = N if db_chunk_size is None else min(db_chunk_size, max(N, 1))
     chunk_size = max(chunk_size, topK, 1)
     rows = _round_up(max(N, chunk_size * n_shards), chunk_size * n_shards)
@@ -111,22 +147,37 @@ def sharded_bm25_topk_retrieval(db_np_data, qry_np_data, mesh,
     topK_values = np.zeros((Q, topK), dtype=np.float64)
     topK_indices = np.full((Q, topK), -1, dtype=np.int64)
     topK_lens = np.zeros(Q, dtype=np.int64)
-    for qry_idx in range(0, Q, qry_batch_size):
-        qry_batch = qry_np_data[qry_idx: qry_idx + qry_batch_size]
-        qry_idf = _map_to_idf(qry_batch, idf_tables)
-        b = len(qry_batch)
-        if b < qry_batch_size:
-            pad = qry_batch_size - b
-            qry_batch = np.concatenate(
-                [qry_batch, np.zeros((pad, qry_batch.shape[1]), qry_batch.dtype)])
-            qry_idf = np.concatenate(
-                [qry_idf, np.zeros((pad, qry_idf.shape[1]), qry_idf.dtype)])
-        v, i = _sharded_scan(db_dev, jnp.asarray(qry_batch, jnp.int32),
-                             jnp.asarray(qry_idf), jnp.int32(N),
-                             topk=topK, chunk_size=chunk_size, mesh=mesh,
-                             axis=axis)
-        v, i, lens = _finalize(jax.device_get(v)[:b], jax.device_get(i)[:b])
-        topK_values[qry_idx: qry_idx + b] = v
-        topK_indices[qry_idx: qry_idx + b] = i
-        topK_lens[qry_idx: qry_idx + b] = lens
+
+    n_batches = _round_up(Q, qry_batch_size) // qry_batch_size
+    qry_padded = np.zeros((n_batches * qry_batch_size, qry_np_data.shape[1]),
+                          dtype=np.int32)
+    qry_padded[:Q] = qry_np_data
+    qry_batches = qry_padded.reshape(n_batches, qry_batch_size, -1)
+
+    def collect(pending):
+        (V, I, L), lo, hi = pending
+        V, I, L = jax.device_get((V, I, L))
+        n = hi - lo
+        topK_values[lo:hi] = V.reshape(-1, topK)[:n].astype(np.float64)
+        topK_indices[lo:hi] = I.reshape(-1, topK)[:n].astype(np.int64)
+        topK_lens[lo:hi] = L.reshape(-1)[:n].astype(np.int64)
+
+    pending = None
+    for mb_start in range(0, n_batches, mega_batches):
+        mb = qry_batches[mb_start: mb_start + mega_batches]
+        nb = len(mb)
+        if nb < mega_batches and mb_start > 0:
+            pad = np.zeros((mega_batches - nb,) + mb.shape[1:], dtype=mb.dtype)
+            mb = np.concatenate([mb, pad])
+        out = _sharded_scan_batched(db_dev, jnp.asarray(mb), idf_pack,
+                                    jnp.int32(N), topk=topK,
+                                    chunk_size=chunk_size, mesh=mesh,
+                                    axis=axis, dense_idf=dense_idf)
+        lo = mb_start * qry_batch_size
+        hi = min(lo + nb * qry_batch_size, Q)
+        if pending is not None:
+            collect(pending)
+        pending = (out, lo, hi)
+    if pending is not None:
+        collect(pending)
     return RetrievalResults(topK_values, topK_indices, topK_lens)
