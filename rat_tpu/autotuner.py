@@ -156,9 +156,33 @@ def load_experiment_ids(config_dir):
     return sorted(experiment_id_list)
 
 
+def _slot_env(slot):
+    """Environment overrides for one execution slot.
+
+    A slot is either a plain value (exported as RAT_TPU_SLOT, mirroring
+    the reference's GPU-index list) or a dict of environment variables —
+    which is how chip sets and mesh topologies are scheduled: e.g.
+    ``{"TPU_VISIBLE_DEVICES": "0,1", "RAT_TPU_MESH": "2x1"}`` pins a
+    subprocess to two chips, ``{"JAX_PLATFORMS": "cpu"}`` runs a CPU
+    sweep lane. The subprocess inherits the parent environment plus the
+    overrides.
+    """
+    env = dict(os.environ)
+    if isinstance(slot, dict):
+        env.update({str(k): str(v) for k, v in slot.items()})
+    else:
+        env["RAT_TPU_SLOT"] = str(slot)
+    return env
+
+
 def grid_search(version, config_dir, slot_list, expid_tag=None,
                 runner="rat_tpu.cli.run_expid"):
-    """Run every enumerated expid, one subprocess per free slot."""
+    """Run every enumerated expid, one subprocess per free slot.
+
+    ``slot_list`` generalizes the reference's GPU list
+    (autotuner.py:164-187) to accelerator-instance specs — see
+    ``_slot_env``. Slot width = scheduling parallelism.
+    """
     experiment_id_list = load_experiment_ids(config_dir)
     if expid_tag is not None:
         experiment_id_list = [expid for expid in experiment_id_list
@@ -174,7 +198,8 @@ def grid_search(version, config_dir, slot_list, expid_tag=None,
             expid = experiment_id_list.pop(0)
             cmd = ("python -u -m {} --version {} --config {} --expid {}"
                    .format(runner, version, config_dir, expid))
-            p = subprocess.Popen(cmd.split())
+            p = subprocess.Popen(cmd.split(),
+                                 env=_slot_env(slot_list[idle_idx]))
             processes[idle_idx] = p
         else:
             time.sleep(5)

@@ -72,3 +72,40 @@ def test_enumerate_params_expands_dataset_params(tmp_path):
     with open(os.path.join(out_dir, "dataset_config.yaml")) as f:
         ds = yaml.safe_load(f)
     assert len(ds) == 2  # one hashed dataset id per combination
+
+
+def test_grid_search_slot_env(tmp_path):
+    """Slots carry environment overrides (chip sets / mesh topologies /
+    platform pins) into each run_expid subprocess."""
+    from rat_tpu.autotuner import grid_search
+
+    tuner_cfg = {
+        "base_expid": "RAT_m2_base",
+        "model_config": {
+            "Base": {"model_root": "./exps/"},
+            "RAT_m2_base": {"model": "RAT_m2", "dataset_id": "ds1",
+                            "learning_rate": 1e-3},
+        },
+        "dataset_config": {"ds1": {"data_format": "csv"}},
+        "tuner_space": {"learning_rate": [1e-3, 1e-4, 1e-5]},
+    }
+    cfg_file = tmp_path / "tuner.yaml"
+    cfg_file.write_text(yaml.dump(tuner_cfg))
+    out_dir = enumerate_params(str(cfg_file))
+
+    outdir = tmp_path / "marks"
+    outdir.mkdir()
+    (tmp_path / "dummy_runner.py").write_text(
+        "import argparse, os\n"
+        "p = argparse.ArgumentParser()\n"
+        "for a in ('--version', '--config', '--expid'):\n"
+        "    p.add_argument(a)\n"
+        "args = p.parse_args()\n"
+        "open(os.path.join(os.environ['MARK_DIR'],\n"
+        "     args.expid), 'w').write(os.environ['SLOT_MARK'])\n")
+    slots = [{"PYTHONPATH": str(tmp_path), "MARK_DIR": str(outdir),
+              "SLOT_MARK": m} for m in ("chips:0,1", "chips:2,3")]
+    grid_search("tpu", out_dir, slots, runner="dummy_runner")
+    marks = {f.name: f.read_text() for f in outdir.iterdir()}
+    assert len(marks) == 3
+    assert set(marks.values()) <= {"chips:0,1", "chips:2,3"}
