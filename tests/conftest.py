@@ -9,11 +9,16 @@ import os
 # NOTE: some environments (e.g. the axon TPU tunnel) export
 # JAX_PLATFORMS and a sitecustomize hook that override the env var, so
 # the platform must be forced through jax.config, not the environment.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Set RAT_TPU_TEST_PLATFORM=tpu to run the hardware-marked tests
+# (tests/test_pallas.py etc.) on a real chip instead.
+_test_platform = os.environ.get("RAT_TPU_TEST_PLATFORM", "cpu")
+if _test_platform == "cpu":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if _test_platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: trainer-step compiles dominate suite time on
 # small CPU hosts, and they are identical across tests and runs
