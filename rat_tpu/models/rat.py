@@ -118,8 +118,11 @@ class RATModel(nn.Module):
                                batch_norm=self.batch_norm,
                                name="dnn")(target_emb, train=train)
         if self.use_wide:
+            # the reference feeds the FULL grid to the wide tower, whose
+            # per-sample logits are mean-aggregated over target+neighbors
+            # (RAT_m2.py:148, shallow.py:36-45)
             y_pred += LRLayer(self.lr_spec, use_bias=False, name="lr_layer")(
-                X[:, 0:1], X_num[:, 0:1] if X_num is not None else None)
+                X, X_num)
         y_pred = nn.sigmoid(y_pred)
         return {"y_pred": y_pred, "y_true": y[:, 0:1]}
 
