@@ -140,9 +140,11 @@ def rat_m2_fast_forward(params, model, X, y, X_num=None, use_kernel=None,
         y_pred += _mlp(params["dnn"], target_emb,
                        len(model.dnn_hidden_units))
     if model.use_wide:
-        # full-grid wide tower, mean over target+neighbors (RAT_m2.py:148)
+        # target-only wide tower: reference slices X[:, 0] -> Bx1xF before
+        # the LR layer (RAT_m2.py:114,119,148)
         lr_tab = params["lr_layer"]["embedding_layer"]
-        weights = _embed(lr_tab, model.lr_spec, X, X_num)
+        weights = _embed(lr_tab, model.lr_spec, X[:, 0:1],
+                         None if X_num is None else X_num[:, 0:1])
         y_pred += jnp.mean(jnp.sum(weights, axis=-2), axis=1)
     y_pred = jax.nn.sigmoid(y_pred)
     return {"y_pred": y_pred, "y_true": y[:, 0:1]}

@@ -118,11 +118,11 @@ class RATModel(nn.Module):
                                batch_norm=self.batch_norm,
                                name="dnn")(target_emb, train=train)
         if self.use_wide:
-            # the reference feeds the FULL grid to the wide tower, whose
-            # per-sample logits are mean-aggregated over target+neighbors
-            # (RAT_m2.py:148, shallow.py:36-45)
+            # the reference slices the TARGET row before the wide tower:
+            # X = X[:, 0] then unsqueeze(1) -> Bx1xF (RAT_m2.py:114,119,148),
+            # so neighbor features never reach the LR logit
             y_pred += LRLayer(self.lr_spec, use_bias=False, name="lr_layer")(
-                X, X_num)
+                X[:, 0:1], None if X_num is None else X_num[:, 0:1])
         y_pred = nn.sigmoid(y_pred)
         return {"y_pred": y_pred, "y_true": y[:, 0:1]}
 

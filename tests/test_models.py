@@ -176,17 +176,20 @@ def test_embedding_padding_row_zero_and_masked(tiny_feature_map):
     assert np.abs(out[0, 0]).sum() > 0
 
 
-def test_wide_tower_sees_neighbors(tiny_feature_map, demo_params, rng):
-    """The wide/LR tower receives the FULL (1+K) grid and mean-aggregates
-    per-sample logits (RAT_m2.py:148, shallow.py:36-45) — changing a
-    neighbor's features must move the prediction even when the encoder
-    contribution is frozen out via identical CLS inputs... simplest
-    check: disable the deep towers' variation by comparing against a
-    neighbor-feature perturbation with use_wide on vs off."""
+def test_wide_tower_is_target_only(tiny_feature_map, demo_params, rng):
+    """The wide/LR tower sees ONLY the target row: the reference reassigns
+    X = X[:, 0]; X = unsqueeze(X, 1) -> Bx1xF before ``y_pred +=
+    self.lr_layer(X)`` (RAT_m2.py:114,119,148). Perturbing a neighbor's
+    features must therefore shift the prediction identically with use_wide
+    on or off (the shift comes only from the encoder path), while
+    perturbing the TARGET row must engage the LR term."""
     X, y = _make_inputs(rng)
-    X2 = np.asarray(X).copy()
-    X2[:, 3, :] = (X2[:, 3, :] + 1) % 5 + 1  # perturb one neighbor
-    X2 = jnp.asarray(X2)
+    Xn = np.asarray(X).copy()
+    Xn[:, 3, :] = (Xn[:, 3, :] + 1) % 5 + 1  # perturb one neighbor
+    Xn = jnp.asarray(Xn)
+    Xt = np.asarray(X).copy()
+    Xt[:, 0, :] = (Xt[:, 0, :] + 1) % 5 + 1  # perturb the target
+    Xt = jnp.asarray(Xt)
 
     outs = {}
     for wide in (True, False):
@@ -194,21 +197,33 @@ def test_wide_tower_sees_neighbors(tiny_feature_map, demo_params, rng):
         model = build_model(tiny_feature_map, params)
         variables = model.init(jax.random.PRNGKey(0), X, y, train=False)
         p1 = np.asarray(model.apply(variables, X, y, train=False)["y_pred"])
-        p2 = np.asarray(model.apply(variables, X2, y, train=False)["y_pred"])
-        outs[wide] = (p1, p2)
-    # with the wide tower on, the neighbor perturbation must shift the
-    # logit by MORE than the encoder-only path does (the LR term adds a
-    # direct dependence on neighbor features)
-    d_wide = np.abs(outs[True][0] - outs[True][1]).mean()
-    d_base = np.abs(outs[False][0] - outs[False][1]).mean()
-    assert d_wide != d_base
-    # and the LR contribution itself must be nonzero for the neighbor row
-    from rat_tpu.nn.layers import LRLayer
+        pn = np.asarray(model.apply(variables, Xn, y, train=False)["y_pred"])
+        pt = np.asarray(model.apply(variables, Xt, y, train=False)["y_pred"])
+        outs[wide] = (p1, pn, pt)
+    # neighbor perturbation flows only through the (wide-independent)
+    # encoder: the logit-space shift is the same with the wide tower on.
+    # Compare in logit space because the extra LR constant moves the
+    # sigmoid operating point.
+    def logit(p):
+        return np.log(p) - np.log1p(-p)
+    d_wide = logit(outs[True][1]) - logit(outs[True][0])
+    d_base = logit(outs[False][1]) - logit(outs[False][0])
+    np.testing.assert_allclose(d_wide, d_base, atol=1e-4,
+                               err_msg="neighbor features leaked into the "
+                                       "wide tower")
+    # target perturbation must engage the LR term (wide on != wide off)
+    dt_wide = np.abs(logit(outs[True][2]) - logit(outs[True][0])).mean()
+    dt_base = np.abs(logit(outs[False][2]) - logit(outs[False][0])).mean()
+    assert dt_wide != dt_base, "target features must reach the LR tower"
+    # and the pure-LR contribution to a neighbor change must be zero:
     from rat_tpu.nn.embedding import EmbeddingSpec
+    from rat_tpu.nn.layers import LRLayer
     spec = EmbeddingSpec.build(tiny_feature_map, 1, use_pretrain=False,
                                force_dim=1)
     lr = LRLayer(spec, use_bias=False)
-    v = lr.init(jax.random.PRNGKey(1), X)
-    l1 = np.asarray(lr.apply(v, X))
-    l2 = np.asarray(lr.apply(v, X2))
-    assert not np.allclose(l1, l2), "neighbor features must reach the LR tower"
+    v = lr.init(jax.random.PRNGKey(1), X[:, 0:1])
+    l1 = np.asarray(lr.apply(v, X[:, 0:1]))
+    l2 = np.asarray(lr.apply(v, Xn[:, 0:1]))
+    np.testing.assert_allclose(l1, l2)
+    l3 = np.asarray(lr.apply(v, Xt[:, 0:1]))
+    assert not np.allclose(l1, l3)
