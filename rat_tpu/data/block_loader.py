@@ -22,7 +22,7 @@ import numpy as np
 
 import h5py
 
-from .io import load_hdf5, save_hdf5
+from .io import load_hdf5, save_hdf5_atomic
 from .loader import _fold_self_retrieval, _pool_retrieval
 
 
@@ -186,6 +186,23 @@ class DataBlockGenerator(object):
                 num_batches += int(np.ceil(n * 1.0 / self.batch_size))
         return num_batches, num_samples, num_positives, num_samples - num_positives
 
+    def _block_set_digest(self):
+        """Short digest of the full block list (paths + row counts).
+
+        Inter-block retrieval depends on ALL blocks (union-pool IDF,
+        global indices over the all-blocks concatenation), so its cache
+        must be invalidated when any block is added, removed, reordered,
+        or resized — filename-only keys are only safe for the
+        intra-block modes whose result depends on the block alone.
+        """
+        import hashlib
+        h = hashlib.sha256()
+        for p in self.data_blocks:
+            with h5py.File(p, "r") as hf:
+                n = hf[list(hf.keys())[0]].shape[0]
+            h.update(("%s:%d;" % (os.path.basename(p), n)).encode())
+        return h.hexdigest()[:10]
+
     def _block_retrieval(self, block_path, darray):
         """Returns (indices, values, lens, neighbor_rows-or-None)."""
         rc = self.retrieval_configs
@@ -195,7 +212,7 @@ class DataBlockGenerator(object):
                        and rc.get("inter_block_retrieval", False)
                        and self.num_blocks > 1)
         data_root, data_fname = os.path.split(block_path)
-        tag = "inter_" if inter_block else ""
+        tag = "inter_%s_" % self._block_set_digest() if inter_block else ""
         cache = os.path.join(data_root,
                              f'retrieval_{tag}{rc["topK"]}_' + data_fname)
         if os.path.exists(cache):
@@ -209,7 +226,6 @@ class DataBlockGenerator(object):
             bi = self.data_blocks.index(block_path)
             idx, vals, lens, rows = _inter_block_retrieval(
                 self.data_blocks, bi, darray, rc)
-            save_hdf5(rows, cache, "neighbor_rows")
         elif self.retrieval_pool_fname == "self":
             # intra-block X-fold retrieval (reference behavior; see
             # _inter_block_retrieval for the cross-block mode the
@@ -217,9 +233,10 @@ class DataBlockGenerator(object):
             idx, vals, lens = _fold_self_retrieval(darray, rc)
         else:
             idx, vals, lens = _pool_retrieval(darray, self._pool_array(), rc)
-        save_hdf5(idx, cache, "indices")
-        save_hdf5(vals, cache, "values")
-        save_hdf5(lens, cache, "lens")
+        payload = {"indices": idx, "values": vals, "lens": lens}
+        if rows is not None:
+            payload["neighbor_rows"] = rows
+        save_hdf5_atomic(payload, cache)
         return idx, vals, lens, rows
 
     def iter_block_views(self, rng=None):

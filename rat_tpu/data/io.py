@@ -15,6 +15,30 @@ def save_hdf5(data_array, data_path, key="data"):
         hf.create_dataset(key, data=data_array)
 
 
+def save_hdf5_atomic(datasets, data_path):
+    """Write several datasets as ONE h5 file, atomically.
+
+    ``datasets`` is a dict of key -> array. The file is written to a
+    temporary sibling path and os.rename'd into place so a crash
+    mid-write can never leave a partial cache that passes an
+    ``os.path.exists`` check (a partial file would KeyError on load and
+    require manual deletion).
+    """
+    logging.info("Saving data to h5: " + data_path)
+    dir_name = os.path.dirname(data_path)
+    if dir_name and not os.path.exists(dir_name):
+        os.makedirs(dir_name)
+    tmp_path = data_path + ".tmp.%d" % os.getpid()
+    try:
+        with h5py.File(tmp_path, "w") as hf:
+            for key, arr in datasets.items():
+                hf.create_dataset(key, data=arr)
+        os.rename(tmp_path, data_path)
+    finally:
+        if os.path.exists(tmp_path):
+            os.remove(tmp_path)
+
+
 def load_hdf5(data_path, key=None, verbose=True):
     if verbose:
         logging.info("Loading data from h5: " + data_path)

@@ -129,8 +129,9 @@ def test_inter_block_retrieval_matches_bruteforce(tmp_path):
                              retrieval_pool_fname="self",
                              retrieval_augmented=True)
     views = list(gen.iter_block_views())
+    digest = gen._block_set_digest()
     for b, view in enumerate(views):
-        cache = str(tmp_path / f"retrieval_inter_4_train_part_{b}.h5")
+        cache = str(tmp_path / f"retrieval_inter_{digest}_4_train_part_{b}.h5")
         assert os.path.exists(cache)
         with h5py.File(cache, "r") as hf:
             idx = hf["indices"][()]
@@ -159,6 +160,39 @@ def test_inter_block_retrieval_matches_bruteforce(tmp_path):
         assert view.retrieval_augmented
         g = view.neighbor_gather_indices()
         np.testing.assert_array_equal(view.pool_darray[g[5]], rows[5])
+
+
+def test_inter_block_cache_invalidates_on_block_set_change(tmp_path):
+    """ADVICE r1: the inter-block cache depends on ALL blocks (union
+    IDF, global indices), so adding a block must change the cache key
+    and trigger recomputation — stale caches must never be reused."""
+    paths, arrs = [], []
+    for i in range(2):
+        p = str(tmp_path / f"train_part_{i}.h5")
+        arrs.append(_write_split(p, n=40, seed=i))
+        paths.append(p)
+    rc = dict(RC, inter_block_retrieval=True)
+    gen2 = DataBlockGenerator(paths, batch_size=16, retrieval_configs=rc,
+                              retrieval_pool_fname="self",
+                              retrieval_augmented=True)
+    v2 = list(gen2.iter_block_views())
+    # add a third block: digest changes, block 0's neighbors recompute
+    p3 = str(tmp_path / "train_part_2.h5")
+    arrs.append(_write_split(p3, n=40, seed=2))
+    gen3 = DataBlockGenerator(paths + [p3], batch_size=16,
+                              retrieval_configs=rc,
+                              retrieval_pool_fname="self",
+                              retrieval_augmented=True)
+    assert gen2._block_set_digest() != gen3._block_set_digest()
+    v3 = list(gen3.iter_block_views())
+    # both cache generations coexist on disk under distinct names
+    import glob
+    caches = glob.glob(str(tmp_path / "retrieval_inter_*_train_part_0.h5"))
+    assert len(caches) == 2
+    # and the 3-block neighbors differ from the 2-block ones (the new
+    # block's rows are now candidates)
+    assert not np.array_equal(v2[0].retr_values, v3[0].retr_values) or \
+        not np.array_equal(v2[0].pool_darray, v3[0].pool_darray)
 
 
 def test_inter_block_training_smoke(tiny_feature_map, demo_params, tmp_path):
