@@ -118,6 +118,13 @@ def _pack_idf_dense(idf_tables):
     limits[f] = max pool value in column f, -1 if the column is empty),
     or None if the dense tables would exceed _DENSE_IDF_MAX_ENTRIES.
     """
+    # the flat layout indexes by raw value, so it only exists for
+    # non-negative vocabularies: a negative pool key would corrupt the
+    # previous column's region (flat[offset + k] with k < 0) and a
+    # negative query value would clip to index 0 — fall back to the
+    # searchsorted pack, which handles arbitrary ints
+    if any(len(k) and int(k[0]) < 0 for k, _ in idf_tables):
+        return None
     sizes = [int(k[-1]) + 1 if len(k) else 1 for k, _ in idf_tables]
     if sum(sizes) > _DENSE_IDF_MAX_ENTRIES:
         return None
@@ -138,7 +145,9 @@ def _pack_idf_dense(idf_tables):
 
 def _idf_lookup_dense(qry, flat, offsets, limits):
     """Dense-gather _map_to_idf. qry [B, F] int32 -> [B, F] f32."""
-    in_range = qry <= limits[None, :]
+    # a negative query value is by construction unseen in the pool
+    # (dense packing requires non-negative pool keys) -> IDF 0
+    in_range = (qry >= 0) & (qry <= limits[None, :])
     pos = jnp.clip(qry, 0, jnp.maximum(limits, 0)[None, :])
     vals = jnp.take(flat, (offsets[None, :] + pos).reshape(-1),
                     mode="clip").reshape(qry.shape)
@@ -230,18 +239,6 @@ def _masked_topk(scores, cand_mask, topk):
     scores = (scores + 1.0) * cand_mask
     v, i = jax.lax.top_k(scores, topk)
     return v, i
-
-
-def _finalize(values, indices):
-    """Drop zero-score hits (index -> -1) and count valid neighbors
-    (reference sort_results, data_utils.py:787-798). Inputs already
-    sorted descending by score."""
-    values = np.asarray(values, dtype=np.float64)
-    indices = np.asarray(indices, dtype=np.int64)
-    drop = values == 0
-    indices[drop] = -1
-    lens = drop.shape[-1] - drop.sum(-1)
-    return values, indices, lens
 
 
 def bm25_topk_retrieval(db_np_data, qry_np_data,
@@ -359,63 +356,158 @@ def bm25_topk_retrieval(db_np_data, qry_np_data,
     return RetrievalResults(topK_values, topK_indices, topK_lens)
 
 
+def _rows_as_void(a):
+    """View [N, F] int rows as a structured array of N lexicographically
+    comparable records, so row-wise unique/searchsorted are one call."""
+    a = np.ascontiguousarray(a)
+    return a.view([("f%d" % i, a.dtype) for i in range(a.shape[1])]).ravel()
+
+
+@partial(jax.jit, static_argnames=("topk", "chunk_size", "n_chunks"))
+def _exm_scan_topk(db_rest_sorted, qry, qry_idf, starts, lens,
+                   topk, chunk_size, n_chunks):
+    """Device-batched exact-match scoring: each query scans ONLY its own
+    candidate window of the key-sorted pool.
+
+    db_rest_sorted: [Npad, F] rest-column rows in exact-key sort order
+    qry/qry_idf:    [B, F] int32 / f32 (rest columns)
+    starts/lens:    [B] int32 candidate window per query in sorted order
+    Returns (values [B, K] f32 with (bm25 + 1) * 1[candidate], positions
+    [B, K] i32 into the SORTED order).
+    """
+    local = jnp.arange(chunk_size, dtype=jnp.int32)
+    n_pad = db_rest_sorted.shape[0]
+
+    def body(carry, ci):
+        offs = ci * chunk_size + local                    # [C] window offs
+        cand_pos = starts[:, None] + offs[None, :]        # [B, C]
+        valid = offs[None, :] < lens[:, None]
+        cand_pos_c = jnp.where(valid, cand_pos, 0)
+        cand_pos_c = jnp.minimum(cand_pos_c, n_pad - 1)
+        cand = db_rest_sorted[cand_pos_c]                 # [B, C, F]
+        scores = jnp.sum((qry[:, None, :] == cand) * qry_idf[:, None, :],
+                         axis=-1)
+        # every true candidate is an exact match: score floor 1
+        # (reference: (bm25 + 1) * exm_mask, data_utils.py:946)
+        scores = jnp.where(valid, scores + 1.0, 0.0)
+        v, i = jax.lax.top_k(scores, topk)
+        return carry, (v, jnp.take_along_axis(cand_pos_c, i, axis=-1))
+
+    _, (vals, poss) = jax.lax.scan(
+        body, None, jnp.arange(n_chunks, dtype=jnp.int32))
+    B = qry.shape[0]
+    # chunk-major merge keeps the earliest-window (lowest candidate
+    # offset) winner on ties, like the group-order top-k upstream
+    vals = jnp.moveaxis(vals, 0, 1).reshape(B, -1)
+    poss = jnp.moveaxis(poss, 0, 1).reshape(B, -1)
+    v, sel = jax.lax.top_k(vals, topk)
+    pos = jnp.take_along_axis(poss, sel, axis=-1)
+    return v, pos
+
+
 def _exact_match_retrieval(db_np_data, qry_np_data, exact_match_col_indices,
                            qry_batch_size, topK,
                            topK_values, topK_indices, topK_lens):
     """Exact-match pre-filter path (data_utils.py:862-876,897-1044).
 
-    Pool rows are grouped by the exact-match columns on the host; each
-    query batch scores only the union of its groups' rows on device.
+    Redesign of the reference's pandas-groupby + masked-gather pipeline:
+    the pool is stably sorted by its exact-match key ONCE on the host, so
+    every group is a contiguous window (start, len) whose within-group
+    order is ascending pool index — the same order pandas groupby yields.
+    Queries map to windows with one structured-array searchsorted, and
+    each batch is scored on device by `_exm_scan_topk`, which gathers
+    per-query candidate windows instead of materializing the batch-union
+    candidate matrix the reference builds (data_utils.py:931-946).
+
+    Reference batch-level branch preserved (data_utils.py:906-918): a
+    batch whose largest matched group fits in topK takes the flat path
+    (values 1.0, group order) for ALL its queries.
     """
     Q = len(qry_np_data)
+    N = len(db_np_data)
     exm_mask = np.zeros(db_np_data.shape[1], dtype=bool)
     exm_mask[exact_match_col_indices] = True
     rest_mask = ~exm_mask
 
-    db_groups = {}
-    for i, row in enumerate(db_np_data[:, exm_mask]):
-        db_groups.setdefault(tuple(row), []).append(i)
+    # contiguous-group view of the pool: stable sort keeps ascending
+    # pool index within each key group
+    db_keys = _rows_as_void(db_np_data[:, exm_mask])
+    perm = np.argsort(db_keys, kind="stable")
+    sorted_keys = db_keys[perm]
+    is_start = np.ones(N, dtype=bool)
+    is_start[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    grp_starts = np.nonzero(is_start)[0].astype(np.int64)
+    grp_lens = np.diff(np.append(grp_starts, N))
+    uniq_keys = sorted_keys[grp_starts]
+
+    qry_keys = _rows_as_void(qry_np_data[:, exm_mask])
+    gid = np.searchsorted(uniq_keys, qry_keys)
+    gid_c = np.minimum(gid, len(uniq_keys) - 1)
+    q_matched = uniq_keys[gid_c] == qry_keys
+    q_starts = grp_starts[gid_c]
+    q_lens = np.where(q_matched, grp_lens[gid_c], 0)
 
     db_rest = db_np_data[:, rest_mask]
     qry_rest = qry_np_data[:, rest_mask]
-    qry_keys = [tuple(row) for row in qry_np_data[:, exm_mask]]
-
     has_rest = db_rest.shape[1] > 0
     idf_tables = _compute_idf_tables(db_rest) if has_rest else None
-    qry_batch_size = Q if qry_batch_size is None else qry_batch_size
+    qry_batch_size = Q if qry_batch_size is None else max(qry_batch_size, 1)
+
+    db_sorted_dev = None  # uploaded once, on first scored batch
+    flat_offs = np.arange(topK, dtype=np.int64)
 
     for qry_idx in range(0, Q, qry_batch_size):
-        batch_keys = qry_keys[qry_idx: qry_idx + qry_batch_size]
-        cand_lists = [np.asarray(db_groups[k], dtype=np.int64)
-                      if k in db_groups else None for k in batch_keys]
-        matched = [(bi, c) for bi, c in enumerate(cand_lists) if c is not None]
-        if not matched:
+        sl = slice(qry_idx, min(qry_idx + qry_batch_size, Q))
+        m = q_matched[sl]
+        if not m.any():
             continue
-        # the reference branches at BATCH level on the largest matched
-        # group (exm_max_size_batch, data_utils.py:906,911): a batch
-        # whose biggest group fits in topK takes the flat path for ALL
-        # its queries; otherwise every matched query is BM25-scored
-        exm_max_size = max(len(c) for _, c in matched)
+        b_starts = q_starts[sl][m]
+        b_lens = q_lens[sl][m]
+        exm_max_size = int(b_lens.max())
         if not has_rest or exm_max_size <= topK:
-            for bi, cands in matched:
-                gi = qry_idx + bi
-                take = cands[:topK]  # truncation only bites when no rest cols
-                topK_indices[gi, :len(take)] = take
-                topK_values[gi, :len(take)] = 1.0
-                topK_lens[gi] = len(take)
+            # flat path: indices in group order, values 1.0; truncation
+            # at topK only bites when there are no rest columns
+            take_len = np.minimum(b_lens, topK)
+            pos = np.minimum(b_starts[:, None] + flat_offs[None, :], N - 1)
+            valid = flat_offs[None, :] < take_len[:, None]
+            idx = np.where(valid, perm[pos], -1)
+            vals = valid.astype(np.float64)
+            lens = take_len
         else:
-            for bi, cands in matched:
-                gi = qry_idx + bi
-                qrow = qry_rest[gi:gi + 1]
-                qidf = _map_to_idf(qrow, idf_tables)
-                # candidate groups are small (rows sharing the exact-match
-                # key): score on host — a device dispatch per query would
-                # be pure round-trip latency
-                scores = ((qrow == db_rest[cands]) * qidf).sum(-1).astype(np.float32)
-                scores = scores + 1.0  # every candidate is an exact match
-                order = np.argsort(-scores, kind="stable")[:topK]
-                take = cands[order]
-                topK_indices[gi, :len(take)] = take
-                topK_values[gi, :len(take)] = scores[order]
-                topK_lens[gi] = len(take)
+            if db_sorted_dev is None:
+                pad = _round_up(N, 8)
+                db_sorted = np.zeros((pad, db_rest.shape[1]), dtype=np.int32)
+                db_sorted[:N] = db_rest[perm]
+                db_sorted_dev = jnp.asarray(db_sorted)
+            qb = qry_rest[sl][m]
+            nm = len(qb)
+            qidf = _map_to_idf(qb, idf_tables)
+            # pad the batch to the driver batch size so every dispatch
+            # reuses one program per candidate-window bucket
+            bpad = qry_batch_size - len(qb)
+            if bpad:
+                qb = np.pad(qb, ((0, bpad), (0, 0)))
+                qidf = np.pad(qidf, ((0, bpad), (0, 0)))
+                b_starts = np.pad(b_starts, (0, bpad))
+                b_lens = np.pad(b_lens, (0, bpad))
+            # bucket the candidate-window length to a power of two to
+            # bound recompiles across batches
+            chunk = max(topK, min(1 << (exm_max_size - 1).bit_length(), 4096))
+            n_chunks = _round_up(exm_max_size, chunk) // chunk
+            v, pos = _exm_scan_topk(
+                db_sorted_dev, jnp.asarray(qb.astype(np.int32)),
+                jnp.asarray(qidf),
+                jnp.asarray(b_starts.astype(np.int32)),
+                jnp.asarray(b_lens.astype(np.int32)),
+                topk=topK, chunk_size=chunk, n_chunks=n_chunks)
+            v, pos = jax.device_get((v, pos))
+            v, pos = v[:nm], pos[:nm]
+            keep = v > 0
+            idx = np.where(keep, perm[np.minimum(pos, N - 1)], -1)
+            vals = np.where(keep, v.astype(np.float64), 0.0)
+            lens = keep.sum(-1).astype(np.int64)
+        out_rows = np.nonzero(m)[0] + qry_idx
+        topK_indices[out_rows] = idx
+        topK_values[out_rows] = vals
+        topK_lens[out_rows] = lens
     logging.debug("exact-match retrieval done for %d queries", Q)

@@ -86,6 +86,68 @@ def test_batching_invariance(rng):
     np.testing.assert_array_equal(r1.lens, r2.lens)
 
 
+def test_exact_match_scores_match_oracle(rng):
+    """Scored exact-match path: value = 1 + bm25 over the REST columns
+    (IDF over the full pool's rest columns), candidates only
+    (data_utils.py:946)."""
+    db = rng.randint(0, 3, (400, 5))
+    q = rng.randint(0, 3, (30, 5))
+    exm = [1, 3]
+    rest = [0, 2, 4]
+    res = bm25_topk_retrieval(db, q, exact_match_col_indices=exm,
+                              qry_batch_size=8, topK=6)
+    for i in range(len(q)):
+        cands = np.nonzero((db[:, exm] == q[i][exm]).all(-1))[0]
+        if len(cands) == 0:
+            assert res.lens[i] == 0
+            continue
+        oracle = _oracle_scores(db[:, rest], q[i][rest])[cands] + 1.0
+        want = np.sort(oracle)[::-1][:6]
+        got = np.sort(res.values[i][res.indices[i] >= 0])[::-1]
+        np.testing.assert_allclose(got, want[:len(got)], rtol=1e-5)
+        # every returned index is a true candidate
+        idx = res.indices[i][res.indices[i] >= 0]
+        assert set(idx) <= set(cands)
+
+
+def test_exact_match_scale_100k(rng):
+    """VERDICT r1 item 7: the device-batched exact-match path must clear
+    100k queries in seconds, not minutes, and keep the reference's
+    invariant (data_utils.py:1287-1325)."""
+    import time
+    Q = 100_000
+    db = rng.randint(0, 50, (200_000, 5)).astype(np.int64)
+    # a low-cardinality exact column creates LARGE groups -> the scored
+    # (non-flat) branch is exercised at scale
+    db[:, 0] = rng.randint(0, 8, 200_000)
+    q = rng.randint(0, 50, (Q, 5)).astype(np.int64)
+    q[:, 0] = rng.randint(0, 8, Q)
+    t0 = time.time()
+    res = bm25_topk_retrieval(db, q, exact_match_col_indices=[0],
+                              qry_batch_size=4096, topK=5)
+    dt = time.time() - t0
+    assert dt < 120, f"exact-match at 100k queries took {dt:.0f}s"
+    check = rng.choice(Q, 200, replace=False)
+    for i in check:
+        idx = res.indices[i][res.indices[i] >= 0]
+        assert len(idx) == res.lens[i]
+        if len(idx):
+            assert (db[idx][:, 0] == q[i][0]).all()
+
+
+def test_negative_values_fall_back_from_dense_idf(rng):
+    """Negative IDs must not corrupt the dense IDF pack
+    (_pack_idf_dense returns None for negative pool keys) and negative
+    query values score 0."""
+    db = rng.randint(-5, 5, (120, 3))
+    q = rng.randint(-5, 5, (25, 3))
+    res = bm25_topk_retrieval(db, q, topK=4)
+    for i in range(len(q)):
+        oracle = np.sort(_oracle_scores(db, q[i]))[::-1][:4]
+        np.testing.assert_allclose(np.sort(res.values[i])[::-1], oracle,
+                                   rtol=1e-5)
+
+
 def test_exact_match_only_no_rest_columns(rng):
     db = rng.randint(0, 3, (50, 2))
     q = rng.randint(0, 3, (10, 2))
