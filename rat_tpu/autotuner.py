@@ -1,14 +1,20 @@
-"""Grid-search autotuner (reference: fuxictr/autotuner.py:70-187).
+"""Grid-search autotuner.
 
-``enumerate_params`` expands a ``tuner_space`` YAML into hashed expids
-with generated dataset/model config files; ``grid_search`` schedules one
-``run_expid`` subprocess per execution slot. The reference schedules
-over a GPU list; here a slot is an accelerator *instance* spec — for a
-single TPU host the slot list is typically ``[0]`` (one process owns
-the chip), and for CPU sweeps it can be any width.
+Behavioral contract from the reference (fuxictr/autotuner.py:70-187,
+re-implemented from the contract): ``enumerate_params`` expands a
+``tuner_space`` YAML into hashed expids with generated dataset/model
+config files; ``grid_search`` schedules one ``run_expid`` subprocess per
+execution slot. The reference schedules over a GPU list; here a slot is
+an accelerator *instance* spec — for a single TPU host the slot list is
+typically ``[0]`` (one process owns the chip), and for CPU sweeps it can
+be any width.
+
+Design: the sweep is modeled as two independent grids — dataset-level
+knobs (which change the preprocessed artifacts, so each combination
+becomes its own hashed ``dataset_id``) and model-level knobs — crossed
+at the end into hashed expids. Grid expansion is one generic helper.
 """
 
-import glob
 import hashlib
 import itertools
 import os
@@ -18,142 +24,108 @@ import time
 import numpy as np
 import yaml
 
-from .utils.config import print_to_json
+from .utils.config import (_config_shards, _resolve_sections, print_to_json)
 
 
 def load_model_config(config_dir, experiment_id):
-    params = dict()
-    model_configs = glob.glob(os.path.join(config_dir, "model_config.yaml"))
-    if not model_configs:
-        model_configs = glob.glob(os.path.join(config_dir, "model_config/*.yaml"))
-    found_keys = []
-    for config in model_configs:
-        with open(config, "r") as cfg:
-            config_dict = yaml.load(cfg, Loader=yaml.FullLoader)
-            if "Base" in config_dict:
-                params.update(config_dict["Base"])
-                found_keys.append("Base")
-            if experiment_id in config_dict:
-                params.update(config_dict[experiment_id])
-                found_keys.append(experiment_id)
-        if len(found_keys) == 2:
-            break
+    """Base+expid merged view WITHOUT the dataset section (the tuner
+    owns dataset merging)."""
+    shards = _config_shards(config_dir, "model_config")
+    sections = _resolve_sections(shards, ["Base", experiment_id])
+    params = dict(sections.get("Base") or {})
+    params.update(sections.get(experiment_id) or {})
     if "dataset_id" not in params:
-        raise RuntimeError("experiment_id={} is not valid in config.".format(experiment_id))
+        raise RuntimeError(
+            "experiment_id={} is not valid in config.".format(experiment_id))
     params["model_id"] = experiment_id
     return params
 
 
 def load_dataset_config(config_dir, dataset_id):
-    params = dict()
-    dataset_configs = glob.glob(os.path.join(config_dir, "dataset_config.yaml"))
-    if not dataset_configs:
-        dataset_configs = glob.glob(os.path.join(config_dir, "dataset_config/*.yaml"))
-    for config in dataset_configs:
-        with open(config, "r") as cfg:
-            config_dict = yaml.load(cfg, Loader=yaml.FullLoader)
-            if dataset_id in config_dict:
-                params.update(config_dict[dataset_id])
-                break
-    return params
+    shards = _config_shards(config_dir, "dataset_config")
+    return dict(_resolve_sections(shards, [dataset_id]).get(dataset_id) or {})
+
+
+def _grid(base_params, tuner_space):
+    """Yield one dict per point of the cross-product of the tuned keys,
+    holding every base key (tuned keys swept, the rest fixed)."""
+    keys = list(base_params)
+    axes = [tuner_space.get(k, [base_params[k]]) for k in keys]
+    for point in itertools.product(*axes):
+        yield dict(zip(keys, point))
+
+
+def _hash_id(params, salt=""):
+    digest = hashlib.md5((print_to_json(params) + salt).encode("utf-8"))
+    return digest.hexdigest()[:8]
 
 
 def enumerate_params(config_file, exclude_expid=[]):
     """Expand tuner_space into per-combination config files; returns the
     generated config directory."""
-    with open(config_file, "r") as cfg:
-        config_dict = yaml.load(cfg, Loader=yaml.FullLoader)
-    tune_dict = config_dict["tuner_space"]
-    for k, v in tune_dict.items():
-        if not isinstance(v, list):
-            tune_dict[k] = [v]
-    experiment_id = config_dict["base_expid"]
-    if "model_config" in config_dict:
-        model_dict = dict()
-        if "Base" in config_dict["model_config"]:
-            model_dict.update(config_dict["model_config"]["Base"])
-        model_dict.update(config_dict["model_config"][experiment_id])
+    with open(config_file, "r") as fh:
+        tuner = yaml.safe_load(fh)
+    space = {k: v if isinstance(v, list) else [v]
+             for k, v in tuner["tuner_space"].items()}
+    base_expid = tuner["base_expid"]
+
+    # base model/dataset sections: inline in the tuner file, or pulled
+    # from an existing config directory
+    base_dir = tuner.get("base_config", os.path.dirname(config_file))
+    if "model_config" in tuner:
+        model_base = dict(tuner["model_config"].get("Base", {}))
+        model_base.update(tuner["model_config"][base_expid])
     else:
-        base_config_dir = config_dict.get("base_config",
-                                          os.path.dirname(config_file))
-        model_dict = load_model_config(base_config_dir, experiment_id)
-
-    dataset_id = config_dict.get("dataset_id", model_dict["dataset_id"])
-    if "dataset_config" in config_dict:
-        dataset_dict = config_dict["dataset_config"][dataset_id]
+        model_base = load_model_config(base_dir, base_expid)
+    dataset_id = tuner.get("dataset_id", model_base["dataset_id"])
+    if "dataset_config" in tuner:
+        dataset_base = tuner["dataset_config"][dataset_id]
     else:
-        dataset_dict = load_dataset_config(base_config_dir, dataset_id)
+        dataset_base = load_dataset_config(base_dir, dataset_id)
+    if model_base["dataset_id"] == "TBD":
+        model_base["dataset_id"] = dataset_id
+        base_expid = model_base["model"] + "_" + dataset_id
 
-    if model_dict["dataset_id"] == "TBD":
-        model_dict["dataset_id"] = dataset_id
-        experiment_id = model_dict["model"] + "_" + dataset_id
+    unknown = set(space) - set(model_base) - set(dataset_base)
+    if unknown:
+        raise RuntimeError("Invalid params in tuner config: {}".format(unknown))
 
-    tuner_keys = set(tune_dict.keys())
-    base_keys = set(model_dict.keys()).union(set(dataset_dict.keys()))
-    if len(tuner_keys - base_keys) > 0:
-        raise RuntimeError("Invalid params in tuner config: {}"
-                           .format(tuner_keys - base_keys))
+    out_dir = config_file[:-len(".yaml")] if config_file.endswith(".yaml") \
+        else config_file
+    os.makedirs(out_dir, exist_ok=True)
 
-    config_dir = config_file.replace(".yaml", "")
-    if not os.path.exists(config_dir):
-        os.makedirs(config_dir)
-
-    # dataset-parameter combinations
-    dataset_dict = {k: tune_dict[k] if k in tune_dict else [v]
-                    for k, v in dataset_dict.items()}
-    dataset_para_keys = list(dataset_dict.keys())
-    dataset_para_combs = dict()
-    for values in itertools.product(*map(dataset_dict.get, dataset_para_keys)):
-        dataset_params = dict(zip(dataset_para_keys, values))
-        if dataset_params.get("data_format") == "h5":
-            dataset_para_combs[dataset_id] = dataset_params
+    # dataset grid: h5-format combos keep the plain dataset_id (the
+    # artifacts are fixed); anything else becomes a hashed dataset id
+    dataset_combos = {}
+    for point in _grid(dataset_base, space):
+        if point.get("data_format") == "h5":
+            dataset_combos[dataset_id] = point
         else:
-            hash_id = hashlib.md5(
-                print_to_json(dataset_params).encode("utf-8")).hexdigest()[0:8]
-            dataset_para_combs[dataset_id + "_{}".format(hash_id)] = dataset_params
+            dataset_combos["{}_{}".format(dataset_id, _hash_id(point))] = point
+    with open(os.path.join(out_dir, "dataset_config.yaml"), "w") as fh:
+        yaml.dump(dataset_combos, fh, default_flow_style=None, indent=4)
 
-    with open(os.path.join(config_dir, "dataset_config.yaml"), "w") as fw:
-        yaml.dump(dataset_para_combs, fw, default_flow_style=None, indent=4)
-
-    # model-parameter combinations
-    model_dict = {k: tune_dict[k] if k in tune_dict else [v]
-                  for k, v in model_dict.items()}
-    model_para_keys = list(model_dict.keys())
-    model_param_combs = dict()
-    for idx, values in enumerate(itertools.product(*map(model_dict.get,
-                                                        model_para_keys))):
-        model_param_combs[idx + 1] = dict(zip(model_para_keys, values))
-
-    merged_param_combs = dict()
-    for idx, item in enumerate(itertools.product(model_param_combs.values(),
-                                                 dataset_para_combs.keys())):
-        para_dict = item[0]
-        para_dict["dataset_id"] = item[1]
-        random_number = ""
-        if para_dict.get("debug"):
-            random_number = str(np.random.randint(1e8))
-        hash_id = hashlib.md5((print_to_json(para_dict) + random_number)
-                              .encode("utf-8")).hexdigest()[0:8]
-        hash_expid = experiment_id + "_{:03d}_{}".format(idx + 1, hash_id)
-        if hash_expid not in exclude_expid:
-            merged_param_combs[hash_expid] = para_dict.copy()
-
-    with open(os.path.join(config_dir, "model_config.yaml"), "w") as fw:
-        yaml.dump(merged_param_combs, fw, default_flow_style=None, indent=4)
+    # model grid x dataset ids -> hashed, numbered expids
+    expids = {}
+    cross = itertools.product(_grid(model_base, space), dataset_combos)
+    for seq, (model_point, ds_id) in enumerate(cross, start=1):
+        point = dict(model_point, dataset_id=ds_id)
+        salt = str(np.random.randint(1e8)) if point.get("debug") else ""
+        expid = "{}_{:03d}_{}".format(base_expid, seq, _hash_id(point, salt))
+        if expid not in exclude_expid:
+            expids[expid] = point
+    with open(os.path.join(out_dir, "model_config.yaml"), "w") as fh:
+        yaml.dump(expids, fh, default_flow_style=None, indent=4)
     print("Enumerate all tuner configurations done.")
-    return config_dir
+    return out_dir
 
 
 def load_experiment_ids(config_dir):
-    model_configs = glob.glob(os.path.join(config_dir, "model_config.yaml"))
-    if not model_configs:
-        model_configs = glob.glob(os.path.join(config_dir, "model_config/*.yaml"))
-    experiment_id_list = []
-    for config in model_configs:
-        with open(config, "r") as cfg:
-            config_dict = yaml.load(cfg, Loader=yaml.FullLoader)
-            experiment_id_list += config_dict.keys()
-    return sorted(experiment_id_list)
+    expids = []
+    for shard in _config_shards(config_dir, "model_config"):
+        with open(shard, "r") as fh:
+            expids.extend((yaml.safe_load(fh) or {}).keys())
+    return sorted(expids)
 
 
 def _slot_env(slot):

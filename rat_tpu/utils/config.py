@@ -1,86 +1,104 @@
 """Two-tier YAML experiment config system.
 
-Drop-in compatible with the reference schema: a ``model_config.yaml``
-(or ``model_config/*.yaml``) holding a ``Base`` section plus per-expid
-sections, and a ``dataset_config.yaml`` (or ``dataset_config/*.yaml``)
-keyed by ``dataset_id``. Expid settings override Base; dataset settings
-are merged last. (Reference: fuxictr/utils.py:26-64.)
+Drop-in compatible with the reference schema (behavioral contract at
+fuxictr/utils.py:26-64, re-implemented from the contract): experiments
+live in ``model_config.yaml`` (or a ``model_config/`` directory of YAML
+shards) holding a ``Base`` section plus per-expid sections, and dataset
+definitions live in ``dataset_config.yaml`` (or ``dataset_config/``)
+keyed by ``dataset_id``. The merged view layers, lowest precedence
+first: Base < expid section < dataset section.
+
+Design: a small section resolver over a shard list. Each lookup walks
+the shards once and stops as soon as every requested section is found,
+so directory layouts with many generated shards (the autotuner writes
+one per sweep) stay O(files-until-hit).
 """
 
 import glob
 import json
 import logging
 import os
-from collections import OrderedDict
 
 import yaml
 
 
-def load_config(config_dir, experiment_id):
-    params = dict()
-    model_configs = glob.glob(os.path.join(config_dir, "model_config.yaml"))
-    if not model_configs:
-        model_configs = glob.glob(os.path.join(config_dir, "model_config/*.yaml"))
-    if not model_configs:
-        raise RuntimeError("config_dir={} is not valid!".format(config_dir))
-    found_params = dict()
-    for config in model_configs:
-        with open(config, "r") as cfg:
-            config_dict = yaml.load(cfg, Loader=yaml.FullLoader)
-            if "Base" in config_dict:
-                found_params["Base"] = config_dict["Base"]
-            if experiment_id in config_dict:
-                found_params[experiment_id] = config_dict[experiment_id]
-        if len(found_params) == 2:
+def _config_shards(config_dir, stem):
+    """YAML shard paths for one config family: the single-file layout
+    ``<stem>.yaml`` wins; otherwise every file under ``<stem>/``."""
+    single = os.path.join(config_dir, stem + ".yaml")
+    if os.path.isfile(single):
+        return [single]
+    return sorted(glob.glob(os.path.join(config_dir, stem, "*.yaml")))
+
+
+def _resolve_sections(shards, section_names):
+    """Scan shards for the named top-level sections; first shard that
+    defines a section wins; stop once all are found."""
+    remaining = set(section_names)
+    found = {}
+    for path in shards:
+        with open(path, "r") as fh:
+            doc = yaml.safe_load(fh) or {}
+        for name in list(remaining):
+            if name in doc:
+                found[name] = doc[name]
+                remaining.discard(name)
+        if not remaining:
             break
-    if experiment_id not in found_params:
-        raise ValueError("expid={} not found in config".format(experiment_id))
-    # Base first so expid-specific settings win on conflict.
-    params.update(found_params.get("Base", {}))
-    params.update(found_params.get(experiment_id))
-    params["model_id"] = experiment_id
-    dataset_params = load_dataset_config(config_dir, params["dataset_id"])
-    params.update(dataset_params)
-    return params
+    return found
 
 
 def load_dataset_config(config_dir, dataset_id):
-    dataset_configs = glob.glob(os.path.join(config_dir, "dataset_config.yaml"))
-    if not dataset_configs:
-        dataset_configs = glob.glob(os.path.join(config_dir, "dataset_config/*.yaml"))
-    for config in dataset_configs:
-        with open(config, "r") as cfg:
-            config_dict = yaml.load(cfg, Loader=yaml.FullLoader)
-            if dataset_id in config_dict:
-                return config_dict[dataset_id]
-    raise RuntimeError("dataset_id={} is not found in config.".format(dataset_id))
+    shards = _config_shards(config_dir, "dataset_config")
+    sections = _resolve_sections(shards, [dataset_id])
+    if dataset_id not in sections:
+        raise RuntimeError(
+            "dataset_id={} is not found in config.".format(dataset_id))
+    return sections[dataset_id]
+
+
+def load_config(config_dir, experiment_id):
+    """Merged experiment view: Base < expid < dataset, plus model_id."""
+    shards = _config_shards(config_dir, "model_config")
+    if not shards:
+        raise RuntimeError("config_dir={} is not valid!".format(config_dir))
+    sections = _resolve_sections(shards, ["Base", experiment_id])
+    if experiment_id not in sections:
+        raise ValueError("expid={} not found in config".format(experiment_id))
+    params = dict(sections.get("Base") or {})
+    params.update(sections[experiment_id] or {})
+    params["model_id"] = experiment_id
+    params.update(load_dataset_config(config_dir, params["dataset_id"]))
+    return params
+
+
+#: Log line layout — kept byte-identical to the reference logs so the
+#: golden-run regression workflow (diffing .log files) carries over.
+_LOG_FORMAT = "%(asctime)s P%(process)d %(levelname)s %(message)s"
 
 
 def set_logger(params, log_file=None):
-    """File + console logging to <model_root>/<dataset_id>/<model_id>.log.
-
-    The log format matches the reference UX (fuxictr/utils.py:67-83).
-    """
+    """Route the root logger to <model_root>/<dataset_id>/<model_id>.log
+    plus the console."""
     if log_file is None:
-        dataset_id = params["dataset_id"]
-        model_id = params["model_id"]
-        log_dir = os.path.join(params["model_root"], dataset_id)
-        log_file = os.path.join(log_dir, model_id + ".log")
-    log_dir = os.path.dirname(log_file)
-    os.makedirs(log_dir, exist_ok=True)
-    for handler in logging.root.handlers[:]:
-        logging.root.removeHandler(handler)
-    logging.basicConfig(level=logging.INFO,
-                        format="%(asctime)s P%(process)d %(levelname)s %(message)s",
-                        handlers=[logging.FileHandler(log_file, mode="w"),
-                                  logging.StreamHandler()])
+        log_file = os.path.join(params["model_root"], params["dataset_id"],
+                                params["model_id"] + ".log")
+    os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
+    root = logging.getLogger()
+    for handler in list(root.handlers):
+        root.removeHandler(handler)
+    formatter = logging.Formatter(_LOG_FORMAT)
+    for handler in (logging.FileHandler(log_file, mode="w"),
+                    logging.StreamHandler()):
+        handler.setFormatter(formatter)
+        root.addHandler(handler)
+    root.setLevel(logging.INFO)
 
 
 def print_to_json(data, sort_keys=True):
-    new_data = dict((k, str(v)) for k, v in data.items())
-    if sort_keys:
-        new_data = OrderedDict(sorted(new_data.items(), key=lambda x: x[0]))
-    return json.dumps(new_data, indent=4)
+    """Hyperparameter dump: every value stringified, optionally sorted."""
+    as_str = {k: str(v) for k, v in data.items()}
+    return json.dumps(as_str, indent=4, sort_keys=sort_keys)
 
 
 def print_to_list(data):
@@ -88,18 +106,13 @@ def print_to_list(data):
 
 
 class Monitor(object):
-    """Weighted combination of metrics used for early stopping.
-
-    (Reference: fuxictr/utils.py:94-104.)
-    """
+    """Weighted metric combination driving early stopping: a bare
+    metric name means weight 1 (behavioral contract:
+    fuxictr/utils.py:94-104). Missing metrics contribute 0."""
 
     def __init__(self, kv):
-        if isinstance(kv, str):
-            kv = {kv: 1}
-        self.kv_pairs = kv
+        self.kv_pairs = {kv: 1} if isinstance(kv, str) else dict(kv)
 
     def get_value(self, logs):
-        value = 0
-        for k, v in self.kv_pairs.items():
-            value += logs.get(k, 0) * v
-        return value
+        return sum(weight * logs.get(metric, 0)
+                   for metric, weight in self.kv_pairs.items())

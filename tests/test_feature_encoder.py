@@ -95,6 +95,28 @@ def test_encoder_pickle_cache(csv_dir):
     assert arr.shape == (4, 5)
 
 
+def test_kkbox_hooks():
+    """Age decades + ISRC country (contract: fuxictr/datasets/kkbox.py)."""
+    from rat_tpu.features.datasets.kkbox import FeatureEncoder as KK
+    enc = KK.__new__(KK)
+    df = pd.DataFrame({"age": ["5", "10", "11", "20", "21", "35", "60",
+                               "61", "95", "96", "0", None],
+                       "isrc": ["USABC123", None, "GBXYZ"] + [""] * 9})
+    assert list(enc.bucketize_age(df, "age")) == \
+        ["1", "1", "2", "2", "3", "4", "6", "7", "7", "", "", ""]
+    assert list(enc.extract_country_code(df, "isrc"))[:3] == ["US", "", "GB"]
+
+
+def test_tmall_hooks():
+    """time_stamp MDD/MMDD in 2014 -> weekday %w and weekend flag
+    (contract: fuxictr/datasets/tmall.py)."""
+    from rat_tpu.features.datasets.tmall import FeatureEncoder as TM
+    enc = TM.__new__(TM)
+    df = pd.DataFrame({"time_stamp": ["1101", "511", "1231"]})
+    assert list(enc.convert_weekday(df, "weekday")) == ["6", "0", "3"]
+    assert list(enc.convert_weekend(df, "weekend")) == ["1", "1", "0"]
+
+
 def test_fill_na_str_default(csv_dir):
     tmp_path, _ = csv_dir
     df = pd.DataFrame({"user": ["u1", None], "item": ["i1", "i2"],
