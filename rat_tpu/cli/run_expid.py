@@ -25,7 +25,11 @@ from ..utils import load_config, print_to_json, print_to_list, seed_everything, 
 
 
 def run_experiment(config_dir, experiment_id, version="tpu", gpu=-1,
-                   platform="auto"):
+                   platform="auto", mesh=None):
+    """``mesh`` generalizes the reference's ``--gpu`` device pick to a
+    topology spec — "4x2" (data x model), an int (pure DP), or a config
+    ``mesh:`` key / RAT_TPU_MESH env var (see parallel.resolve_mesh).
+    Default: single device."""
     if platform != "auto":
         import jax
         jax.config.update("jax_platforms", platform)
@@ -66,7 +70,11 @@ def run_experiment(config_dir, experiment_id, version="tpu", gpu=-1,
     train_gen, valid_gen = h5_generator(feature_map, stage="train", **params)
     test_gen = h5_generator(feature_map, stage="test", **params)
 
-    model = Trainer(feature_map, params)
+    from ..parallel import resolve_mesh
+    device_mesh = resolve_mesh(params, cli_spec=mesh)
+    if device_mesh is not None:
+        logging.info("Device mesh: {}".format(dict(device_mesh.shape)))
+    model = Trainer(feature_map, params, mesh=device_mesh)
     k = train_gen.topk
     input_length = feature_map.input_length or feature_map.num_fields
     model.init_state(np.zeros((2, 1 + k, input_length), np.int32),
@@ -112,9 +120,14 @@ def main():
     parser.add_argument("--platform", type=str, default="auto",
                         choices=["auto", "cpu", "tpu"],
                         help="Force the JAX platform (overrides env hooks).")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="Device mesh topology 'DATAxMODEL' (e.g. 4x2) "
+                             "or an int for pure data parallelism. Defaults "
+                             "to the config 'mesh' key / RAT_TPU_MESH env, "
+                             "else single device.")
     args = vars(parser.parse_args())
     run_experiment(args["config"], args["expid"], args["version"], args["gpu"],
-                   args["platform"])
+                   args["platform"], args["mesh"])
 
 
 if __name__ == "__main__":

@@ -471,6 +471,15 @@ class Trainer(object):
                 {"params": jax.device_get(self.state.params),
                  "batch_stats": jax.device_get(self.state.batch_stats)},
                 f.read())
-        self.state = self.state.replace(
-            params=jax.device_put(payload["params"]),
-            batch_stats=jax.device_put(payload["batch_stats"]))
+        if self.mesh is not None:
+            # restore the SPMD layout (row-sharded tables etc.) so the
+            # compiled steps don't reshard on every call
+            shard = self._state_shard
+            self.state = self.state.replace(
+                params=jax.device_put(payload["params"], shard.params),
+                batch_stats=jax.device_put(payload["batch_stats"],
+                                           shard.batch_stats))
+        else:
+            self.state = self.state.replace(
+                params=jax.device_put(payload["params"]),
+                batch_stats=jax.device_put(payload["batch_stats"]))

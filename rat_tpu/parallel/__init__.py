@@ -1,2 +1,3 @@
-from .mesh import (make_mesh, batch_sharding, replicated_sharding,
-                   state_sharding, embedding_table_shapes)
+from .mesh import (make_mesh, batch_sharding, parse_mesh_spec,
+                   replicated_sharding, resolve_mesh, state_sharding,
+                   embedding_table_shapes)

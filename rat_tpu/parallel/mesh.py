@@ -24,6 +24,48 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def parse_mesh_spec(spec):
+    """Normalize a mesh spec to (data_axis, model_axis) or None.
+
+    Accepted forms (the TPU generalization of the reference's ``--gpu``
+    index, reference run_expid.py:32):
+    - ``"4x2"``          -> (4, 2): data x model
+    - ``8`` / ``"8"``    -> (8, 1): pure DP
+    - ``{"data": 4, "model": 2}``
+    - ``None`` / ``""`` / ``"none"`` -> None (single device)
+    """
+    if spec is None or spec == "" or str(spec).lower() == "none":
+        return None
+    if isinstance(spec, dict):
+        return int(spec.get("data", 1)), int(spec.get("model", 1))
+    text = str(spec).lower()
+    if "x" in text:
+        data, model = text.split("x", 1)
+        return int(data), int(model)
+    return int(text), 1
+
+
+def resolve_mesh(params=None, cli_spec=None):
+    """Build the experiment mesh from (in precedence order) an explicit
+    CLI spec, the config's ``mesh`` key, or the RAT_TPU_MESH environment
+    variable (how autotuner slots schedule topologies). Returns None for
+    the default single-device path."""
+    import os
+    spec = cli_spec
+    if spec is None and params is not None:
+        spec = params.get("mesh")
+    if spec is None:
+        spec = os.environ.get("RAT_TPU_MESH")
+    axes = parse_mesh_spec(spec)
+    if axes is None:
+        return None
+    data_axis, model_axis = axes
+    if data_axis * model_axis <= 1:
+        return None
+    return make_mesh(n_devices=data_axis * model_axis,
+                     model_axis_size=model_axis)
+
+
 def make_mesh(n_devices=None, model_axis_size=1, devices=None):
     """Build a (data, model) mesh. model_axis_size divides n_devices."""
     devices = list(devices if devices is not None else jax.devices())
