@@ -129,21 +129,81 @@ class Trainer(object):
         self._jit_train_step = None
         self._jit_eval_step = None
 
+    # ---- multi-process helpers -------------------------------------------
+    def _multiprocess(self):
+        return jax.process_count() > 1
+
+    def _to_device(self, arr, sharding=None):
+        """Upload a host array; under multi-process runs every device
+        array must be a GLOBAL array assembled from process-local data
+        (each host holds the full value for replicated shardings)."""
+        arr = np.asarray(arr)
+        if self.mesh is not None and self._multiprocess():
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sharding = sharding or NamedSharding(self.mesh, P())
+            # every process holds the FULL value; global_shape=local
+            # shape tells jax to slice out this process's shards rather
+            # than concatenate over processes
+            return jax.make_array_from_process_local_data(
+                sharding, arr, global_shape=arr.shape)
+        return jnp.asarray(arr) if sharding is None \
+            else jax.device_put(arr, sharding)
+
+    def _globalize_idx(self, idx):
+        """Batch ids for one step: single-process passes them through;
+        multi-process hosts each contribute their contiguous slice of
+        the (identically computed) global batch."""
+        if self.mesh is None or not self._multiprocess():
+            return jnp.asarray(idx)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.distributed import (host_local_batch_to_global,
+                                            process_local_rows)
+        local = process_local_rows(len(idx), np.asarray(idx))
+        return host_local_batch_to_global(local, self.mesh)
+
     # ---- state ----------------------------------------------------------
     def init_state(self, example_X, example_y):
         init_rng, self._rng = jax.random.split(self._rng)
         example_X_num = None
         if any(spec["type"] == "numeric" for spec
                in self.feature_map.feature_specs.values()):
-            example_X_num = jnp.zeros(np.shape(example_X), jnp.float32)
-        variables = self.model.init({"params": init_rng, "dropout": init_rng},
-                                    jnp.asarray(example_X), jnp.asarray(example_y),
-                                    example_X_num, train=False)
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", {})
-        opt_state = self.tx.init(params)
-        self.state = TrainState(params=params, batch_stats=batch_stats,
-                                opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+            example_X_num = np.zeros(np.shape(example_X), np.float32)
+
+        def init_fn(rng, X, y, Xf):
+            variables = self.model.init({"params": rng, "dropout": rng},
+                                        X, y, Xf, train=False)
+            params = variables["params"]
+            return TrainState(params=params,
+                              batch_stats=variables.get("batch_stats", {}),
+                              opt_state=self.tx.init(params),
+                              step=jnp.zeros((), jnp.int32))
+
+        has_pretrained = bool(getattr(self.model, "embedding_spec", None)
+                              and self.model.embedding_spec.pretrained)
+        if self.mesh is not None and not has_pretrained:
+            # SPMD init: shapes are computed once, and every leaf is born
+            # with its mesh sharding — the only multi-host-correct path
+            # (host-local init + device_put cannot place non-addressable
+            # shards), and it skips the replicated->sharded copy.
+            from ..parallel import state_sharding
+            shapes = jax.eval_shape(init_fn, init_rng,
+                                    jax.ShapeDtypeStruct(np.shape(example_X),
+                                                         jnp.int32),
+                                    jax.ShapeDtypeStruct(np.shape(example_y),
+                                                         jnp.float32),
+                                    example_X_num)
+            self._state_shard = state_sharding(shapes, self.mesh)
+            # numpy inputs: implicitly replicated across processes
+            # (committed single-device arrays are illegal multi-host)
+            self.state = jax.jit(init_fn,
+                                 out_shardings=self._state_shard)(
+                np.asarray(jax.device_get(init_rng)),
+                np.asarray(example_X, np.int32),
+                np.asarray(example_y, np.float32),
+                example_X_num)
+            return self.state
+        self.state = init_fn(init_rng, jnp.asarray(example_X),
+                             jnp.asarray(example_y), example_X_num)
         if self.mesh is not None:
             from ..parallel import state_sharding
             self._state_shard = state_sharding(self.state, self.mesh)
@@ -193,9 +253,13 @@ class Trainer(object):
                 # split arrays replicated, batch ids sharded over 'data'
                 in_shardings=(state_shard, rep, dp, rep, rep),
                 out_shardings=(state_shard, rep))
+            # multi-process: predictions must come back replicated so
+            # every host can device_get them (a data-sharded global
+            # array is not fully addressable from one process)
+            eval_out = rep if self._multiprocess() else dp
             eval_jit = partial(jax.jit,
                                in_shardings=(state_shard, rep, dp),
-                               out_shardings=(dp, dp))
+                               out_shardings=(eval_out, eval_out))
         else:
             train_jit = partial(jax.jit, donate_argnums=(0,))
             eval_jit = jax.jit
@@ -257,22 +321,23 @@ class Trainer(object):
         darray = gen.darray
         has_numeric = any(spec["type"] == "numeric" for spec
                           in self.feature_map.feature_specs.values())
+        up = self._to_device
         data = {
-            "tokens": jnp.asarray(darray[:, :-1].astype(np.int32)),
-            "labels": jnp.asarray(darray[:, -1].astype(np.float32)),
+            "tokens": up(darray[:, :-1].astype(np.int32)),
+            "labels": up(darray[:, -1].astype(np.float32)),
         }
         if has_numeric:
-            data["numeric"] = jnp.asarray(darray[:, :-1].astype(np.float32))
+            data["numeric"] = up(darray[:, :-1].astype(np.float32))
         if gen.retrieval_augmented:
             if gen.retr_lens.ndim != 1:
                 raise AssertionError(
                     "RIM does not support label-wise retrieval-enhanced training")
             pool = gen.pool_darray
-            data["pool_tokens"] = jnp.asarray(pool[:, :-1].astype(np.int32))
-            data["pool_labels"] = jnp.asarray(pool[:, -1].astype(np.float32))
+            data["pool_tokens"] = up(pool[:, :-1].astype(np.int32))
+            data["pool_labels"] = up(pool[:, -1].astype(np.float32))
             if has_numeric:
-                data["pool_numeric"] = jnp.asarray(pool[:, :-1].astype(np.float32))
-            data["nbr"] = jnp.asarray(gen.neighbor_gather_indices())
+                data["pool_numeric"] = up(pool[:, :-1].astype(np.float32))
+            data["nbr"] = up(gen.neighbor_gather_indices())
         return data
 
     # ---- fit loop -------------------------------------------------------
@@ -331,13 +396,17 @@ class Trainer(object):
         examples = 0
         tic = time.time()
         rng, self._rng = jax.random.split(self._rng)
+        if self.mesh is not None and self._multiprocess():
+            # numpy -> implicitly replicated; a committed single-device
+            # key array is illegal as a multi-host jit input
+            rng = np.asarray(jax.device_get(rng))
         profiling = self._profile_dir is not None and epoch == 0
         for batch_index, (data, idx, valid) in enumerate(self._epoch_stream(train_gen)):
             if profiling and batch_index == 2:  # skip compile steps
                 jax.profiler.start_trace(self._profile_dir)
             self.state, loss = self._jit_train_step(
-                self.state, data, jnp.asarray(idx),
-                jnp.float32(valid), rng)
+                self.state, data, self._globalize_idx(idx),
+                np.float32(valid), rng)
             losses.append(loss)
             examples += valid
             if profiling and batch_index == 2 + self._profile_steps:
@@ -417,7 +486,8 @@ class Trainer(object):
             self._build_steps()
         y_pred, y_true = [], []
         for split_data, idx, valid in self._eval_stream(data_gen, data):
-            p, t = self._jit_eval_step(self.state, split_data, jnp.asarray(idx))
+            p, t = self._jit_eval_step(self.state, split_data,
+                                       self._globalize_idx(idx))
             y_pred.append(jax.device_get(p)[:valid])
             y_true.append(jax.device_get(t)[:valid])
         y_pred = np.concatenate(y_pred).astype(np.float64)
@@ -429,7 +499,8 @@ class Trainer(object):
             self._build_steps()
         y_pred = []
         for split_data, idx, valid in self._eval_stream(data_gen, data):
-            p, _ = self._jit_eval_step(self.state, split_data, jnp.asarray(idx))
+            p, _ = self._jit_eval_step(self.state, split_data,
+                                       self._globalize_idx(idx))
             y_pred.append(jax.device_get(p)[:valid])
         return np.concatenate(y_pred).astype(np.float64)
 
@@ -458,27 +529,42 @@ class Trainer(object):
         return extra
 
     # ---- checkpoint IO --------------------------------------------------
+    def _host_weights(self):
+        """Params + batch stats as host arrays. Model-sharded leaves are
+        not fully addressable from one process under multi-host, so they
+        are first all-gathered to a replicated layout (every process
+        participates; only rank 0 needs the bytes)."""
+        params, stats = self.state.params, self.state.batch_stats
+        if self.mesh is not None and self._multiprocess():
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
+            params, stats = jax.jit(lambda p, b: (p, b),
+                                    out_shardings=rep)(params, stats)
+        return jax.device_get(params), jax.device_get(stats)
+
     def save_weights(self, checkpoint):
         os.makedirs(os.path.dirname(checkpoint), exist_ok=True)
-        payload = {"params": jax.device_get(self.state.params),
-                   "batch_stats": jax.device_get(self.state.batch_stats)}
-        with open(checkpoint, "wb") as f:
-            f.write(serialization.to_bytes(payload))
+        params, stats = self._host_weights()
+        if jax.process_index() == 0:
+            with open(checkpoint, "wb") as f:
+                f.write(serialization.to_bytes({"params": params,
+                                                "batch_stats": stats}))
 
     def load_weights(self, checkpoint):
+        params, stats = self._host_weights()  # templates (and a barrier)
         with open(checkpoint, "rb") as f:
             payload = serialization.from_bytes(
-                {"params": jax.device_get(self.state.params),
-                 "batch_stats": jax.device_get(self.state.batch_stats)},
-                f.read())
+                {"params": params, "batch_stats": stats}, f.read())
         if self.mesh is not None:
             # restore the SPMD layout (row-sharded tables etc.) so the
             # compiled steps don't reshard on every call
             shard = self._state_shard
+            put = self._to_device if self._multiprocess() else jax.device_put
             self.state = self.state.replace(
-                params=jax.device_put(payload["params"], shard.params),
-                batch_stats=jax.device_put(payload["batch_stats"],
-                                           shard.batch_stats))
+                params=jax.tree_util.tree_map(put, payload["params"],
+                                              shard.params),
+                batch_stats=jax.tree_util.tree_map(put, payload["batch_stats"],
+                                                   shard.batch_stats))
         else:
             self.state = self.state.replace(
                 params=jax.device_put(payload["params"]),

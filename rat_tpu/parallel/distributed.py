@@ -24,12 +24,13 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None):
     """Idempotent jax.distributed bring-up; no-op in single-process runs
     unless explicitly configured."""
-    if num_processes is None and coordinator_address is None:
+    if coordinator_address is None and num_processes in (None, 1):
         # single-process (or TPU-VM auto-config) path
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            pass  # already initialized or single-host without env config
+        if num_processes is None:
+            try:
+                jax.distributed.initialize()
+            except Exception:
+                pass  # already initialized or single-host without env config
         return jax.process_count(), jax.process_index()
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
