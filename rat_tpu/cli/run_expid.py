@@ -67,13 +67,18 @@ def run_experiment(config_dir, experiment_id, version="tpu", gpu=-1,
                 os.path.join(data_dir, "retrieval_pool.h5")
         feature_map = feature_encoder.feature_map
 
-    train_gen, valid_gen = h5_generator(feature_map, stage="train", **params)
-    test_gen = h5_generator(feature_map, stage="test", **params)
-
     from ..parallel import resolve_mesh
     device_mesh = resolve_mesh(params, cli_spec=mesh)
     if device_mesh is not None:
         logging.info("Device mesh: {}".format(dict(device_mesh.shape)))
+        if "retrieval_configs" in params:
+            # large-pool BM25 precompute shards the pool scan over the
+            # mesh (data/loader.py::_retrieve picks the engine by size)
+            params["retrieval_configs"]["mesh"] = device_mesh
+
+    train_gen, valid_gen = h5_generator(feature_map, stage="train", **params)
+    test_gen = h5_generator(feature_map, stage="test", **params)
+
     model = Trainer(feature_map, params, mesh=device_mesh)
     k = train_gen.topk
     input_length = feature_map.input_length or feature_map.num_fields

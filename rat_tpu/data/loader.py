@@ -29,6 +29,33 @@ import numpy as np
 from ..retrieval.bm25 import bm25_topk_retrieval
 from .io import load_hdf5, save_hdf5
 
+# pools below this size fit one chip's scan comfortably; above it the
+# precompute shards the pool over the mesh 'data' axis (SURVEY §5
+# long-context row: Tmall's pool is ~20M rows)
+_SHARDED_POOL_MIN_ROWS = 2_000_000
+
+# driver-side knobs that are not engine kwargs
+_DRIVER_KEYS = ("mesh", "sharded_pool_min_rows")
+
+
+def _retrieve(db_np_data, qry_np_data, retrieval_configs):
+    """Engine dispatch: the mesh-sharded pool scan when a mesh is
+    configured and the pool is large (identical results either way —
+    tested), else the single-device engine."""
+    rc = retrieval_configs
+    engine_kwargs = {k: v for k, v in rc.items() if k not in _DRIVER_KEYS}
+    mesh = rc.get("mesh")
+    min_rows = rc.get("sharded_pool_min_rows", _SHARDED_POOL_MIN_ROWS)
+    if (mesh is not None and len(db_np_data) >= min_rows
+            and not rc.get("exact_match_col_indices")):
+        from ..retrieval.sharded import sharded_bm25_topk_retrieval
+        logging.info("Sharded BM25 pool scan over mesh {} ({} rows)".format(
+            dict(mesh.shape), len(db_np_data)))
+        return sharded_bm25_topk_retrieval(db_np_data, qry_np_data, mesh,
+                                           **engine_kwargs)
+    return bm25_topk_retrieval(db_np_data=db_np_data,
+                               qry_np_data=qry_np_data, **engine_kwargs)
+
 
 def _fold_self_retrieval(data_array, retrieval_configs):
     """10-fold style self-retrieval (data_generator.py:115-176)."""
@@ -57,9 +84,8 @@ def _fold_self_retrieval(data_array, retrieval_configs):
             parts_i, parts_v, parts_l = [], [], []
             for sub_indices in (np.nonzero(fold_db_labels)[0],
                                 np.nonzero(1 - fold_db_labels)[0]):
-                res = bm25_topk_retrieval(db_np_data=fold_db_data[sub_indices],
-                                          qry_np_data=fold_qry_data,
-                                          **retrieval_configs)
+                res = _retrieve(fold_db_data[sub_indices], fold_qry_data,
+                                retrieval_configs)
                 parts_i.append(fold_db_indices[sub_indices[res.indices]])
                 parts_v.append(res.values)
                 parts_l.append(res.lens)
@@ -67,9 +93,7 @@ def _fold_self_retrieval(data_array, retrieval_configs):
             retrieved_values.append(np.concatenate(parts_v, axis=-1))   # Bx(2K)
             retrieved_lens.append(np.stack(parts_l, axis=-1))           # Bx2
         else:
-            res = bm25_topk_retrieval(db_np_data=fold_db_data,
-                                      qry_np_data=fold_qry_data,
-                                      **retrieval_configs)
+            res = _retrieve(fold_db_data, fold_qry_data, retrieval_configs)
             retrieved_indices.append(fold_db_indices[res.indices])
             retrieved_values.append(res.values)
             retrieved_lens.append(res.lens)
@@ -88,16 +112,15 @@ def _pool_retrieval(data_array, db_array, retrieval_configs):
         db_labels = db_array[:, -1].astype(int)
         parts_i, parts_v, parts_l = [], [], []
         for sub_indices in (np.nonzero(db_labels)[0], np.nonzero(1 - db_labels)[0]):
-            res = bm25_topk_retrieval(db_np_data=db_data[sub_indices],
-                                      qry_np_data=qry_data, **retrieval_configs)
+            res = _retrieve(db_data[sub_indices], qry_data,
+                            retrieval_configs)
             parts_i.append(sub_indices[res.indices])
             parts_v.append(res.values)
             parts_l.append(res.lens)
         return (np.concatenate(parts_i, axis=-1),
                 np.concatenate(parts_v, axis=-1),
                 np.stack(parts_l, axis=-1))
-    res = bm25_topk_retrieval(db_np_data=db_data, qry_np_data=qry_data,
-                              **retrieval_configs)
+    res = _retrieve(db_data, qry_data, retrieval_configs)
     return res.indices, res.values, res.lens
 
 

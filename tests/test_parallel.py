@@ -105,6 +105,53 @@ print('MATCH')
 
 
 @pytest.mark.slow
+def test_xfold_driver_sharded_scan_identical_caches(tmp_path):
+    """VERDICT r1 item 5: the X-fold retrieval precompute routed through
+    the mesh-sharded pool scan must produce caches identical to the
+    single-device engine (reference driver semantics,
+    data_generator.py:115-212)."""
+    code = f"""
+import os, sys
+import numpy as np
+sys.path.insert(0, {REPO!r})
+import h5py
+from rat_tpu.data.io import save_hdf5
+from rat_tpu.data.loader import DataGenerator
+from rat_tpu.parallel import make_mesh
+
+rng = np.random.RandomState(5)
+N, F = 600, 4
+darray = np.concatenate([rng.randint(0, 12, (N, F)),
+                         rng.randint(0, 2, (N, 1))], axis=1).astype(np.float64)
+base = {str(tmp_path)!r}
+rc = dict(split_type='4-fold', used_col_indices=[0, 1, 2], topK=5,
+          qry_batch_size=64, db_chunk_size=100, pre_retrieval=True)
+results = {{}}
+for tag, extra in (('single', {{}}),
+                   ('sharded', {{'mesh': make_mesh(8, 1),
+                                 'sharded_pool_min_rows': 1}})):
+    d = os.path.join(base, tag)
+    os.makedirs(d)
+    path = os.path.join(d, 'train.h5')
+    save_hdf5(darray, path)
+    gen = DataGenerator(path, batch_size=64,
+                        retrieval_configs=dict(rc, **extra),
+                        retrieval_pool_fname='self',
+                        retrieval_augmented=True)
+    cache = os.path.join(d, 'retrieval_5_train.h5')
+    assert os.path.exists(cache)
+    with h5py.File(cache, 'r') as hf:
+        results[tag] = {{k: hf[k][()] for k in ('indices', 'values', 'lens')}}
+for k in ('indices', 'values', 'lens'):
+    np.testing.assert_array_equal(results['single'][k], results['sharded'][k])
+print('IDENTICAL')
+"""
+    r = _run_in_subprocess(code)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "IDENTICAL" in r.stdout
+
+
+@pytest.mark.slow
 def test_sharded_bm25_matches_single_device():
     """The pool-sharded scan must reproduce the single-device engine."""
     code = """
