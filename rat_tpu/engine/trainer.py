@@ -120,6 +120,10 @@ class Trainer(object):
         self._batch_norm = params.get("batch_norm", False)
         self._seed = params.get("seed", 2021)
         self._rng = jax.random.PRNGKey(self._seed)
+        # dedicated host RNG for batch/block shuffling: batch order must
+        # not depend on third-party code touching the GLOBAL np.random
+        # between epochs (reference relies on seed_everything alone)
+        self._shuffle_rng = np.random.RandomState(self._seed)
         # profiling hooks (new vs reference: SURVEY.md §5 tracing row)
         self._profile_dir = params.get("profile_dir", None)
         self._profile_steps = params.get("profile_steps", 10)
@@ -381,14 +385,16 @@ class Trainer(object):
         """(device_data, idx, valid) triples for one epoch; block mode
         uploads one block at a time (data_generator.py:452-455 shape)."""
         if getattr(self, "_block_mode", False):
-            for view in train_gen.iter_block_views():
+            for view in train_gen.iter_block_views(rng=self._shuffle_rng):
                 block_data = self.device_split(view)
-                for idx, valid in view.epoch_index_batches():
+                for idx, valid in view.epoch_index_batches(
+                        rng=self._shuffle_rng):
                     yield block_data, idx, valid
         else:
             if self._train_data is None:
                 self._train_data = self.device_split(train_gen)
-            for idx, valid in train_gen.epoch_index_batches():
+            for idx, valid in train_gen.epoch_index_batches(
+                    rng=self._shuffle_rng):
                 yield self._train_data, idx, valid
 
     def train_one_epoch(self, train_gen, epoch):
