@@ -93,7 +93,7 @@ def _mlp(params, x, n_hidden):
 
 
 def rat_m2_fast_forward(params, model, X, y, X_num=None, use_kernel=None,
-                        block_b=512):
+                        block_b=8):
     """params: RATModel param tree; model: the RATModel instance (for
     static config). Returns {"y_pred", "y_true"} identical to
     model.apply(..., train=False) within float tolerance."""

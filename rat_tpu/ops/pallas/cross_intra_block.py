@@ -143,14 +143,23 @@ def _fused_bwd(heads, dim_head, project_out, block_b, interpret,
 _fused_block_vjp.defvjp(_fused_fwd, _fused_bwd)
 
 
+# Mosaic unrolls the per-sample batched attention matmuls over the
+# bb*t leading dim, so kernel COMPILE time grows ~4x per block_b
+# doubling (measured on a real chip at B=4096, t=6, s=4, d=10:
+# block_b=8 -> 2.8 s, 16 -> 8.5 s, 32 -> 31 s, 64+ -> minutes to
+# hours). 16 is the largest production-safe block; the batch grid
+# supplies the parallelism instead.
+_MAX_BLOCK_B = 16
+
+
 def fused_cross_intra_block(x, params, heads, dim_head, project_out=True,
-                            block_b=256, interpret=False):
+                            block_b=8, interpret=False):
     """Differentiable fused block: forward runs the Pallas kernel, the
     backward pass is the VJP of the (mathematically identical) jnp
     reference — XLA fuses it well, and a handwritten backward kernel can
     swap in later without touching callers."""
     return _fused_block_vjp(x, params, heads, dim_head, project_out,
-                            block_b, interpret)
+                            min(block_b, _MAX_BLOCK_B), interpret)
 
 
 @partial(jax.jit, static_argnames=("heads", "dim_head", "project_out",
