@@ -41,14 +41,29 @@ import pandas as pd
 RetrievalResults = namedtuple("RetrievalResults", ["values", "indices", "lens"])
 
 
-def _compute_idf_tables(db_np_data):
+def _compute_idf_tables(db_np_data, idf_weighting="lucene"):
     """Per-column (sorted_keys, idf_values) over the pool — sorted ONCE
-    so every query batch is a plain searchsorted."""
+    so every query batch is a plain searchsorted.
+
+    ``idf_weighting``:
+    - "lucene" (default): ``log(N / count)`` — generations v2/v3/v4
+      (data_utils.py:389,638,885);
+    - "robertson": ``log((N - count + 0.5) / (count + 0.5))`` with the
+      padding value -1 pinned to 0 — generation v1
+      (data_utils.py:231-232). Can go negative for values present in
+      more than half the pool; the drivers keep negative-score
+      neighbors, exactly like the reference (only exact zeros drop).
+    """
     N = len(db_np_data)
     idf_tables = []
     for col in range(db_np_data.shape[1]):
         keys, counts = np.unique(db_np_data[:, col], return_counts=True)
-        idf = np.log(N / counts).astype(np.float32)
+        if idf_weighting == "robertson":
+            idf = np.log((N - counts + 0.5) / (counts + 0.5)).astype(np.float32)
+            idf[keys == -1] = 0.0
+        else:
+            assert idf_weighting == "lucene", idf_weighting
+            idf = np.log(N / counts).astype(np.float32)
         idf_tables.append((keys.astype(np.int64), idf))
     return idf_tables
 
@@ -154,11 +169,15 @@ def _idf_lookup_dense(qry, flat, offsets, limits):
     return jnp.where(in_range, vals, 0.0)
 
 
-@partial(jax.jit, static_argnames=("topk", "chunk_size"))
-def _scan_topk(db_padded, qry, qry_idf, db_valid_len, topk, chunk_size):
+@partial(jax.jit, static_argnames=("topk", "chunk_size", "neg_pad"))
+def _scan_topk(db_padded, qry, qry_idf, db_valid_len, topk, chunk_size,
+               neg_pad=False):
     """Score all pool chunks against a query batch and merge top-K.
 
-    db_padded: [n_chunks*chunk_size, F] int32 (padded rows score 0)
+    db_padded: [n_chunks*chunk_size, F] int32 (padded rows score 0, or
+               -inf when ``neg_pad`` — required when the IDF weighting
+               can go negative, so real negative-score rows still beat
+               the padding like they beat nothing in the reference)
     qry:       [B, F] int32,  qry_idf: [B, F] float32
     Returns (values [B, K] f32, indices [B, K] i32 into the padded pool).
     """
@@ -166,6 +185,7 @@ def _scan_topk(db_padded, qry, qry_idf, db_valid_len, topk, chunk_size):
     db_chunks = db_padded.reshape(n_chunks, chunk_size, db_padded.shape[1])
     chunk_starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size
     local_ids = jnp.arange(chunk_size, dtype=jnp.int32)
+    pad_score = -jnp.inf if neg_pad else 0.0
 
     def body(carry, inputs):
         db_chunk, chunk_start = inputs
@@ -174,7 +194,7 @@ def _scan_topk(db_padded, qry, qry_idf, db_valid_len, topk, chunk_size):
             (qry[:, None, :] == db_chunk[None, :, :]) * qry_idf[:, None, :],
             axis=-1)
         row_ids = chunk_start + local_ids
-        scores = jnp.where(row_ids[None, :] < db_valid_len, scores, 0.0)
+        scores = jnp.where(row_ids[None, :] < db_valid_len, scores, pad_score)
         v, i = jax.lax.top_k(scores, topk)
         return carry, (v, i.astype(jnp.int32) + chunk_start)
 
@@ -191,10 +211,10 @@ def _scan_topk(db_padded, qry, qry_idf, db_valid_len, topk, chunk_size):
 
 
 @partial(jax.jit, static_argnames=("topk", "chunk_size", "use_fused",
-                                   "dense_idf"))
+                                   "dense_idf", "neg_pad"))
 def _scan_topk_batched(db_padded, qry_batches, idf_pack,
                        db_valid_len, topk, chunk_size, use_fused=False,
-                       dense_idf=False):
+                       dense_idf=False, neg_pad=False):
     """Whole-retrieval device program: scan over query batches, each
     doing IDF lookup + chunked pool scan + zero-score finalize. One
     host round-trip per call.
@@ -223,8 +243,17 @@ def _scan_topk_batched(db_padded, qry_batches, idf_pack,
                                           block_c=chunk_size)
         else:
             v, i = _scan_topk(db_padded, qry, qry_idf, db_valid_len,
-                              topk=topk, chunk_size=chunk_size)
-        drop = v == 0
+                              topk=topk, chunk_size=chunk_size,
+                              neg_pad=neg_pad)
+        if neg_pad:
+            # -inf slots only surface when the pool holds < K real rows;
+            # surface them as the reference's empty padding (value 0,
+            # index -1) and drop exact zeros as usual
+            pad_hit = jnp.isneginf(v)
+            v = jnp.where(pad_hit, 0.0, v)
+            drop = (v == 0) | pad_hit
+        else:
+            drop = v == 0
         i = jnp.where(drop, -1, i)
         lens = jnp.sum(~drop, axis=-1).astype(jnp.int32)
         return carry, (v, i, lens)
@@ -248,12 +277,24 @@ def bm25_topk_retrieval(db_np_data, qry_np_data,
                         topK=10,
                         mega_batches=128,
                         idf_tables=None,
+                        generation=4,
+                        idf_weighting=None,
                         **kwargs):
     """Retrieve the topK most similar pool rows for each query row.
 
     The device program processes ``mega_batches`` query batches per
     dispatch (one host↔device round-trip each); lower it only to bound
     single-dispatch latency on interactive runs.
+
+    ``generation`` selects the reference BM25 generation's semantics
+    (data_utils.py:189-1064): 1 = Robertson IDF, no exact-match support
+    (:189-287); 2/3/4 are output-identical (they differ only in how the
+    exact-match prefilter is implemented — masked matmul :290-535,
+    pandas MultiIndex :538-769, groupby windows :772-1064 — all three
+    run through the same device pipeline here, parity-tested against
+    each reference generation in tests/test_reference_parity.py).
+    ``idf_weighting`` ("lucene"/"robertson") overrides the IDF formula
+    independently of the generation.
 
     ``idf_tables`` overrides the per-column IDF statistics (as produced
     by ``_compute_idf_tables``) — used when this pool is one shard of a
@@ -264,6 +305,13 @@ def bm25_topk_retrieval(db_np_data, qry_np_data,
     Returns RetrievalResults(values [Q,K] f64, indices [Q,K] i64 with -1
     padding, lens [Q] i64).
     """
+    assert generation in (1, 2, 3, 4), generation
+    if idf_weighting is None:
+        idf_weighting = "robertson" if generation == 1 else "lucene"
+    robertson = idf_weighting == "robertson"
+    if generation == 1:
+        assert not exact_match_col_indices, \
+            "generation 1 (v1) has no exact-match prefilter (data_utils.py:189)"
     db_np_data = np.ascontiguousarray(db_np_data, dtype=np.int64)
     qry_np_data = np.ascontiguousarray(qry_np_data, dtype=np.int64)
     Q = len(qry_np_data)
@@ -281,13 +329,16 @@ def bm25_topk_retrieval(db_np_data, qry_np_data,
 
     N = len(db_np_data)
     if idf_tables is None:
-        idf_tables = _compute_idf_tables(db_np_data)
+        idf_tables = _compute_idf_tables(db_np_data, idf_weighting)
     idf_pack = _pack_idf_dense(idf_tables)
     dense_idf = idf_pack is not None
     if not dense_idf:
         idf_pack = _pack_idf_tables(idf_tables)
     qry_batch_size = Q if qry_batch_size is None else min(qry_batch_size, max(Q, 1))
-    use_fused = kwargs.get(
+    # the fused kernel's running top-K assumes non-negative scores
+    # (zero-initialized accumulators); Robertson IDF can go negative,
+    # so that legacy path always takes the XLA scan
+    use_fused = not robertson and kwargs.get(
         "use_fused", jax.default_backend() == "tpu"
         and _os.environ.get("RAT_TPU_BM25_FUSED", "1") == "1")
     if use_fused:
@@ -345,7 +396,7 @@ def bm25_topk_retrieval(db_np_data, qry_np_data,
                                  db_valid_len,
                                  topk=topK, chunk_size=chunk_size,
                                  use_fused=use_fused,
-                                 dense_idf=dense_idf)
+                                 dense_idf=dense_idf, neg_pad=robertson)
         lo = mb_start * qry_batch_size
         hi = min(lo + nb * qry_batch_size, Q)
         if pending is not None:

@@ -183,7 +183,7 @@ def _retrieval_equivalent(vals_a, idx_a, vals_b, idx_b, oracle_scores):
     brute-force oracle (any same-cardinality subset is legal)."""
     np.testing.assert_allclose(vals_a, vals_b, rtol=1e-4, atol=1e-6)
     for i in range(len(vals_a)):
-        nz = vals_a[i][vals_a[i] > 0]
+        nz = vals_a[i][vals_a[i] != 0]  # Robertson scores can be negative
         if not len(nz):
             continue
         boundary = nz.min()
@@ -198,16 +198,22 @@ def _retrieval_equivalent(vals_a, idx_a, vals_b, idx_b, oracle_scores):
                 assert set(pick_a.tolist()) == set(pick_b.tolist()), (i, lvl)
 
 
-def _oracle_bm25(db, q, exm=None):
-    """Brute-force v4 scores [Q, N]: IDF sum over (rest) columns, +1 and
-    candidate-masked under exact-match columns."""
+def _oracle_bm25(db, q, exm=None, weighting="lucene"):
+    """Brute-force scores [Q, N]: IDF sum over (rest) columns, +1 and
+    candidate-masked under exact-match columns. ``weighting`` follows
+    _compute_idf_tables ("lucene" = v2-v4, "robertson" = v1)."""
     cols = [c for c in range(db.shape[1]) if exm is None or c not in exm]
     rest_db, rest_q = db[:, cols], q[:, cols]
     N = len(db)
     scores = np.zeros((len(q), N))
     for j in range(rest_db.shape[1]):
         keys, counts = np.unique(rest_db[:, j], return_counts=True)
-        idf = dict(zip(keys.tolist(), np.log(N / counts)))
+        if weighting == "robertson":
+            vals = np.log((N - counts + 0.5) / (counts + 0.5))
+            vals[keys == -1] = 0.0
+        else:
+            vals = np.log(N / counts)
+        idf = dict(zip(keys.tolist(), vals))
         w = np.array([idf.get(v, 0.0) for v in rest_q[:, j]])
         scores += (rest_q[:, j][:, None] == rest_db[:, j][None, :]) * w[:, None]
     if exm is not None:
@@ -232,6 +238,58 @@ def test_bm25_matches_reference_v4():
     np.testing.assert_array_equal(np.asarray(ref.lens), ours.lens)
     _retrieval_equivalent(np.asarray(ref.values), np.asarray(ref.indices),
                           ours.values, ours.indices, _oracle_bm25(db, q))
+
+
+def test_bm25_generation1_matches_reference_v1():
+    """generation=1: Robertson IDF (negative scores possible), no
+    exact-match — semantics of BM25_topk_retrieval_v1
+    (data_utils.py:189-287)."""
+    _import_reference()
+    from fuxictr.datasets.data_utils import BM25_topk_retrieval_v1
+
+    from rat_tpu.retrieval import bm25_topk_retrieval
+
+    rng = np.random.RandomState(7)
+    # skewed vocab so value 0 appears in > N/2 rows -> negative IDF
+    db = np.where(rng.rand(500, 4) < 0.7, 0, rng.randint(1, 5, (500, 4)))
+    q = np.where(rng.rand(64, 4) < 0.7, 0, rng.randint(1, 5, (64, 4)))
+    ref = BM25_topk_retrieval_v1(db.copy(), q.copy(), qry_batch_size=16,
+                                 db_chunk_size=100, device="cpu", topK=6)
+    ours = bm25_topk_retrieval(db, q, qry_batch_size=16, db_chunk_size=100,
+                               topK=6, generation=1)
+    oracle = _oracle_bm25(db, q, weighting="robertson")
+    assert (oracle < 0).any(), "test data must exercise negative scores"
+    np.testing.assert_array_equal(np.asarray(ref.lens), ours.lens)
+    _retrieval_equivalent(np.asarray(ref.values), np.asarray(ref.indices),
+                          ours.values, ours.indices, oracle)
+
+
+def test_bm25_exact_match_matches_reference_v2_v3():
+    """generations 2/3 are output-identical to 4 (same lucene IDF, same
+    exact-match semantics, different plumbing) — verify our one engine
+    covers both against the live reference implementations."""
+    _import_reference()
+    from fuxictr.datasets.data_utils import (BM25_topk_retrieval_v2,
+                                             BM25_topk_retrieval_v3)
+
+    from rat_tpu.retrieval import bm25_topk_retrieval
+
+    rng = np.random.RandomState(8)
+    db = rng.randint(0, 4, (400, 5))
+    q = rng.randint(0, 4, (48, 5))
+    exm = [0, 4]
+    oracle = _oracle_bm25(db, q, exm=exm)
+    for gen, ref_fn in ((2, BM25_topk_retrieval_v2),
+                        (3, BM25_topk_retrieval_v3)):
+        ref = ref_fn(db.copy(), q.copy(), exact_match_col_indices=exm,
+                     qry_batch_size=16, db_chunk_size=64, device="cpu",
+                     topK=5)
+        ours = bm25_topk_retrieval(db, q, exact_match_col_indices=exm,
+                                   qry_batch_size=16, db_chunk_size=64,
+                                   topK=5, generation=gen)
+        np.testing.assert_array_equal(np.asarray(ref.lens), ours.lens)
+        _retrieval_equivalent(np.asarray(ref.values), np.asarray(ref.indices),
+                              ours.values, ours.indices, oracle)
 
 
 def test_bm25_exact_match_matches_reference_v4():
