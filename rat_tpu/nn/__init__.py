@@ -1,6 +1,8 @@
 from .initializers import embedding_init, xavier_normal
 from .embedding import (EmbeddingSpec, PackedEmbedding, LabelEmbedding,
                         MergedEmbeddingLayer)
+from .feature_embedding import (FeatureEmbedding, FeatureEmbeddingDict,
+                                parse_feature_encoder)
 from .layers import (MLPLayer, LRLayer, FMLayer, PreNorm, PreNormAttention,
                      PreNormFeedForward, FeedForward, Attention, Transformer)
 from .encoders import (CrossIntraEncoder, CrossIntraEncoderPA, JointEncoder,

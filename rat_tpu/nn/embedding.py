@@ -66,9 +66,11 @@ class EmbeddingSpec:
     @staticmethod
     def build(feature_map, embedding_dim, use_pretrain=True,
               required_feature_columns=(), not_required_feature_columns=(),
-              force_dim=None):
+              force_dim=None, use_sharing=True):
         """force_dim overrides every field dim (the LR one-hot trick uses 1,
-        layers/shallow.py:30)."""
+        layers/shallow.py:30). use_sharing=False gives every field its own
+        rows even when share_embedding is set (the v2-style API knob,
+        feature_embedding.py:82-84)."""
         offsets = {}
         total_rows = 0
         fields = []
@@ -87,7 +89,8 @@ class EmbeddingSpec:
                 fields.append(_FieldSpec(name, "numeric", (), (spec["index"],),
                                          -1, None, False, False, embedding_dim))
                 continue
-            owner = spec.get("share_embedding", name) if use_pretrain else name
+            owner = spec.get("share_embedding", name) \
+                if (use_pretrain and use_sharing) else name
             feat_dim = force_dim if force_dim is not None \
                 else spec.get("embedding_dim", embedding_dim)
             has_pretrained = use_pretrain and "pretrained_emb" in spec

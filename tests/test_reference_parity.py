@@ -174,6 +174,102 @@ def test_rat_m2_forward_matches_reference():
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
 
 
+def test_feature_embedding_v2_matches_reference():
+    """v2-style FeatureEmbedding API vs the reference's
+    layers/feature_embedding.py. That module is dead code upstream — it
+    is not exported by layers/__init__.py and does not even import in
+    the reference tree (it needs get_initializer, a FuxiCTR-v2 symbol
+    absent from this 1.2.3 torch_utils) — so the missing symbol is
+    shimmed here with the v2 eval-string semantics to get a live
+    comparison."""
+    _import_reference()
+    import importlib
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from torch import nn as tnn
+
+    import fuxictr.pytorch.torch_utils as ref_torch_utils
+    if not hasattr(ref_torch_utils, "get_initializer"):
+        ref_torch_utils.get_initializer = lambda spec: eval(
+            spec, {"partial": partial, "nn": tnn, "torch": torch})
+    ref_fe = importlib.import_module(
+        "fuxictr.pytorch.layers.feature_embedding")
+
+    from rat_tpu.features import FeatureMap
+    from rat_tpu.nn import FeatureEmbedding
+    from rat_tpu.nn.embedding import EmbeddingSpec
+
+    d = 6
+    specs = {
+        "u": {"source": "user", "type": "categorical", "vocab_size": 9,
+              "index": 0},
+        "i": {"source": "item", "type": "categorical", "vocab_size": 7,
+              "index": 1},
+        "i2": {"source": "item", "type": "categorical", "vocab_size": 7,
+               "index": 2, "share_embedding": "i"},
+        "tags": {"source": "item", "type": "sequence", "vocab_size": 6,
+                 "index": [3, 4, 5], "padding_idx": 5,
+                 "feature_encoder": ["layers.MaskedAveragePooling()",
+                                     "nn.Linear(6, 6)"]},
+        "price": {"source": "item", "type": "numeric", "index": 6},
+    }
+    fm = FeatureMap("parity_fe", ".")
+    fm.feature_specs.update(specs)
+    fm.num_fields = len(specs)
+    fm.input_length = 7
+
+    rng = np.random.RandomState(5)
+    B = 8
+    X = np.zeros((B, 7), dtype=np.int64)
+    X[:, 0] = rng.randint(0, 9, B)
+    X[:, 1] = rng.randint(0, 7, B)
+    X[:, 2] = rng.randint(0, 7, B)
+    X[:, 3:6] = rng.randint(0, 6, (B, 3))  # may include the pad id 5
+    Xn = np.zeros((B, 7), dtype=np.float32)
+    Xn[:, 6] = rng.rand(B).astype(np.float32)
+
+    ours_mod = FeatureEmbedding(fm, d)
+    variables = ours_mod.init(jax.random.PRNGKey(0), jnp.asarray(X),
+                              jnp.asarray(Xn))
+    ours = np.asarray(ours_mod.apply(variables, jnp.asarray(X),
+                                     jnp.asarray(Xn)))
+
+    ref_fm = _ref_feature_map(specs, num_fields=len(specs))
+    ref = ref_fe.FeatureEmbedding(ref_fm, d)
+    ref.eval()
+
+    p = variables["params"]["embedding_layer"]
+    table = np.asarray(p["table_d{}".format(d)])
+    spec = EmbeddingSpec.build(fm, d)
+    # per-field base row offsets reconstructed from the packed layout
+    ref_layers = ref.embedding_layer.embedding_layers
+    tok_i = 0
+    for f in spec.fields:
+        if f.kind == "numeric":
+            ref_layers[f.name].weight = _t(
+                np.asarray(p["numeric_weights_d{}".format(d)])[0][:, None])
+            continue
+        base = int(spec.token_offsets[tok_i])
+        tok_i += len(f.token_slots)
+        vocab = ref_layers[f.name].weight.shape[0]
+        ref_layers[f.name].weight = _t(table[base: base + vocab])
+    lin = ref.embedding_layer.feature_encoders["tags"][1]
+    lin.weight = _t(np.asarray(p["enc_tags_1"]["kernel"]).T)
+    lin.bias = _t(p["enc_tags_1"]["bias"])
+
+    inputs = {"u": torch.from_numpy(X[:, 0]),
+              "i": torch.from_numpy(X[:, 1]),
+              "i2": torch.from_numpy(X[:, 2]),
+              "tags": torch.from_numpy(X[:, 3:6]),
+              "price": torch.from_numpy(Xn[:, 6])}
+    with torch.no_grad():
+        theirs = ref(inputs).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
 def _retrieval_equivalent(vals_a, idx_a, vals_b, idx_b, oracle_scores):
     """Tie-tolerant retrieval equality (SURVEY §7.3: BM25 scores tie
     constantly; torch.topk and lax.top_k keep different subsets at the
