@@ -19,48 +19,84 @@ import time
 import numpy as np
 
 REF = {
-    # reference single-GPU numbers derived from its committed logs
-    # (SURVEY.md §6)
-    "train": 5.4e4,
-    "eval": 1.1e5,
     # retrieval: ML-Tag 10-fold precompute processes 1.4M queries against
     # ~1.26M-row fold pools; the reference gives no isolated number, so
     # vs_baseline is reported against the train-throughput baseline pool
     "retrieval": None,
 }
 
+# Workload shapes mirror the shipped reference experiment configs
+# (configs/RAT_m2/*/model_config.yaml); vocab splits approximate each
+# dataset's field cardinalities at the logged parameter counts
+# (SURVEY.md §6). KKBox's two sequence fields are modeled as
+# categoricals — the encoder/DNN compute they feed is shape-identical.
+# ref_train/ref_eval: reference single-GPU examples/s from its logs.
+SHAPES = {
+    "mltag": {
+        "fields": [("user_id", 61000), ("item_id", 17000),
+                   ("tag_id", 12000)],
+        "model": dict(embedding_dim=10, dnn_hidden_units=[400, 400, 400],
+                      num_heads=2, dim_head=10, depth=4, scale_dim=4,
+                      batch_norm=False, emb_dropout=0.0),
+        "ref_train": 5.4e4, "ref_eval": 1.1e5,
+    },
+    "kkbox": {
+        "fields": [("msno", 31000), ("song_id", 53000),
+                   ("source_system_tab", 10), ("source_screen_name", 25),
+                   ("source_type", 15), ("genre_ids", 3000),
+                   ("artist_name", 17000), ("composer", 1000),
+                   ("lyricist", 1000), ("language", 12), ("city", 25),
+                   ("gender", 5), ("registered_via", 10)],
+        "model": dict(embedding_dim=40, dnn_hidden_units=[400, 400, 400],
+                      num_heads=8, dim_head=10, depth=4, scale_dim=2,
+                      batch_norm=True, emb_dropout=0.1),
+        "ref_train": 8.8e3, "ref_eval": 3.8e4,
+    },
+    "tmall": {
+        "fields": [("user_id", 1000000), ("item_id", 570000),
+                   ("cat_id", 2000), ("seller_id", 100000),
+                   ("brand_id", 9000), ("age_range", 10), ("gender", 4),
+                   ("weekday", 8), ("is_weekend", 3)],
+        "model": dict(embedding_dim=10, dnn_hidden_units=[200, 80],
+                      num_heads=32, dim_head=10, depth=4, scale_dim=2,
+                      batch_norm=True, emb_dropout=0.0),
+        "ref_train": 3.3e3, "ref_eval": 2.3e4,
+    },
+}
 
-def _mltag_setup(use_pallas=False, batch_size=4096):
+
+def _bench_setup(shape="mltag", use_pallas=False, batch_size=4096):
     import jax.numpy as jnp
 
     from ..engine import Trainer
     from ..features import FeatureMap
 
-    fm = FeatureMap("bench_mltag", ".")
+    cfg = SHAPES[shape]
+    fm = FeatureMap("bench_" + shape, ".")
     fm.feature_specs = {
-        "user_id": {"source": "", "type": "categorical", "vocab_size": 61000, "index": 0},
-        "item_id": {"source": "", "type": "categorical", "vocab_size": 17000, "index": 1},
-        "tag_id": {"source": "", "type": "categorical", "vocab_size": 12000, "index": 2},
-    }
-    fm.num_fields, fm.num_features, fm.input_length = 3, 90000, 3
+        name: {"source": "", "type": "categorical", "vocab_size": v,
+               "index": i}
+        for i, (name, v) in enumerate(cfg["fields"])}
+    fm.num_fields = len(cfg["fields"])
+    fm.num_features = sum(v for _, v in cfg["fields"])
+    fm.input_length = fm.num_fields
     params = {
         "model": "RAT_m2", "model_id": "bench", "model_root": "/tmp/bench_exps/",
-        "embedding_dim": 10, "dnn_hidden_units": [400, 400, 400],
-        "dnn_activations": "relu", "num_heads": 2, "dim_head": 10,
-        "depth": 4, "scale_dim": 4, "dropout": 0.0, "emb_dropout": 0.0,
-        "net_dropout": 0.0, "batch_norm": False, "use_wide": True,
+        "dnn_activations": "relu", "dropout": 0.0,
+        "net_dropout": 0.0, "use_wide": True,
         "embedding_regularizer": 0.03, "net_regularizer": 0,
         "learning_rate": 1e-3, "optimizer": "adam", "seed": 2021,
         "metrics": ["AUC", "logloss"], "use_pallas": use_pallas,
     }
-    B, K, F, N = batch_size, 5, 3, 200_000
+    params.update(cfg["model"])
+    B, K, N = batch_size, 5, 200_000
     rng = np.random.RandomState(0)
     trainer = Trainer(fm, params)
-    trainer.init_state(np.zeros((B, 1 + K, F), np.int32),
+    trainer.init_state(np.zeros((B, 1 + K, fm.num_fields), np.int32),
                        np.zeros((B, 1 + K), np.float32))
     trainer._build_steps()
-    tokens = np.stack([rng.randint(0, 61000, N), rng.randint(0, 17000, N),
-                       rng.randint(0, 12000, N)], axis=1).astype(np.int32)
+    tokens = np.stack([rng.randint(0, v, N) for _, v in cfg["fields"]],
+                      axis=1).astype(np.int32)
     labels = rng.randint(0, 2, N).astype(np.float32)
     data = {"tokens": jnp.asarray(tokens), "labels": jnp.asarray(labels),
             "pool_tokens": jnp.asarray(tokens), "pool_labels": jnp.asarray(labels),
@@ -69,10 +105,14 @@ def _mltag_setup(use_pallas=False, batch_size=4096):
     return trainer, data, idx, B
 
 
-def bench_train(use_pallas=False, steps=500, warmup=20):
+def _mltag_setup(use_pallas=False, batch_size=4096):
+    return _bench_setup("mltag", use_pallas, batch_size)
+
+
+def bench_train(use_pallas=False, steps=500, warmup=20, shape="mltag"):
     import jax
     import jax.numpy as jnp
-    trainer, data, idx, B = _mltag_setup(use_pallas)
+    trainer, data, idx, B = _bench_setup(shape, use_pallas)
     rng = jax.random.PRNGKey(0)
     for i in range(warmup):
         trainer.state, loss = trainer._jit_train_step(
@@ -88,14 +128,15 @@ def bench_train(use_pallas=False, steps=500, warmup=20):
         jax.block_until_ready(loss)
         rates.append(steps * B / (time.perf_counter() - tic))
     eps = max(rates)
-    name = "rat_m2_mltag_train_throughput" + ("_pallas" if use_pallas else "")
+    name = "rat_m2_{}_train_throughput{}".format(
+        shape, "_pallas" if use_pallas else "")
     return {"metric": name, "value": round(eps, 1), "unit": "examples/s",
-            "vs_baseline": round(eps / REF["train"], 3)}
+            "vs_baseline": round(eps / SHAPES[shape]["ref_train"], 3)}
 
 
-def bench_eval(steps=100):
+def bench_eval(steps=100, shape="mltag"):
     import jax
-    trainer, data, idx, B = _mltag_setup()
+    trainer, data, idx, B = _bench_setup(shape)
     p, t = trainer._jit_eval_step(trainer.state, data, idx[0])
     jax.block_until_ready(p)
     tic = time.perf_counter()
@@ -103,8 +144,9 @@ def bench_eval(steps=100):
         p, t = trainer._jit_eval_step(trainer.state, data, idx[i % 16])
     jax.block_until_ready(p)
     eps = steps * B / (time.perf_counter() - tic)
-    return {"metric": "rat_m2_mltag_eval_throughput", "value": round(eps, 1),
-            "unit": "examples/s", "vs_baseline": round(eps / REF["eval"], 3)}
+    return {"metric": "rat_m2_{}_eval_throughput".format(shape),
+            "value": round(eps, 1), "unit": "examples/s",
+            "vs_baseline": round(eps / SHAPES[shape]["ref_eval"], 3)}
 
 
 def bench_retrieval(n_db=200_000, n_qry=100_000, topk=5):
@@ -218,11 +260,12 @@ def main():
                         choices=["train", "train_pallas", "eval", "retrieval",
                                  "scaling", "suite"])
     parser.add_argument("--devices", type=int, default=8)
+    parser.add_argument("--shape", default="mltag", choices=sorted(SHAPES))
     args = parser.parse_args()
     benches = {
-        "train": lambda: bench_train(False),
-        "train_pallas": lambda: bench_train(True),
-        "eval": bench_eval,
+        "train": lambda: bench_train(False, shape=args.shape),
+        "train_pallas": lambda: bench_train(True, shape=args.shape),
+        "eval": lambda: bench_eval(shape=args.shape),
         "retrieval": bench_retrieval,
         "scaling": lambda: bench_scaling(args.devices),
     }

@@ -171,8 +171,8 @@ class PreNormFeedForward(nn.Module):
                            dropout=self.dropout)(xn, train=train)
 
 
-def _mhsa(q, k, v, heads, scale):
-    """[b, n, h*dh] tensors -> multi-head attention output [b, n, h*dh]."""
+def _mhsa_batch_major(q, k, v, heads, scale):
+    """Textbook [b, h, n, dh] einsum attention."""
     b, n, inner = q.shape
     dh = inner // heads
     q = q.reshape(b, n, heads, dh).transpose(0, 2, 1, 3)
@@ -182,6 +182,47 @@ def _mhsa(q, k, v, heads, scale):
     attn = nn.softmax(dots, axis=-1)
     out = jnp.einsum("bhij,bhjd->bhid", attn, v)
     return out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+
+
+def _mhsa_batch_minor(q, k, v, heads, scale):
+    """Same math, laid out batch-MINOR for the RAT regime (tiny token
+    count n, tiny dim_head, huge folded batch).
+
+    XLA:TPU tiles the last two logical dims to (8, 128); the textbook
+    [b, h, n, dh] / [b, h, i, j] layouts put (n, dh)=(6, 10) or
+    (i, j)=(6, 6) in the tile, padding every attention temporary 17-28x
+    (measured: the KKBox-shaped train step OOMs at 39 GB for ~2 GB of
+    real data). Keeping b in the lane dimension makes the padding
+    factor <2x. The contractions are written as broadcast-multiply-
+    reduce on purpose: a dot_general with b as a batch dim would be
+    relayouted back to batch-major by the dot lowering.
+    """
+    b, n, inner = q.shape
+    dh = inner // heads
+
+    def to_hndb(t):
+        return t.reshape(b, n, heads, dh).transpose(2, 1, 3, 0)
+
+    qT, kT, vT = to_hndb(q), to_hndb(k), to_hndb(v)      # [h, n, dh, b]
+    dots = jnp.sum(qT[:, :, None] * kT[:, None], axis=3) * scale  # [h,i,j,b]
+    attn = nn.softmax(dots, axis=2)
+    out = jnp.sum(attn[:, :, :, None] * vT[:, None], axis=2)      # [h,i,dh,b]
+    return out.transpose(3, 1, 0, 2).reshape(b, n, inner)
+
+
+def _mhsa(q, k, v, heads, scale):
+    """[b, n, h*dh] tensors -> multi-head attention output [b, n, h*dh].
+
+    Dispatches on shape: the batch-minor layout wins whenever dim_head
+    is far below the 128-lane tile and the folded batch is large enough
+    to fill lanes; otherwise the textbook batched-matmul form (which
+    uses the MXU) is better.
+    """
+    b, n, inner = q.shape
+    dh = inner // heads
+    if dh <= 32 and b >= 256:
+        return _mhsa_batch_minor(q, k, v, heads, scale)
+    return _mhsa_batch_major(q, k, v, heads, scale)
 
 
 class Attention(nn.Module):

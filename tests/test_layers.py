@@ -211,3 +211,18 @@ def test_jaccard_similarity_oracle(rng):
     assert sims[0, 0] == pytest.approx(2 / (3 + 1e-3), rel=1e-4)
     # row1 vs row1: no valid v tokens -> intersection 0
     assert sims[1, 1] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_mhsa_batch_minor_matches_batch_major(rng):
+    """The TPU batch-minor attention layout (picked for large folded
+    batches with tiny dim_head) is numerically the same attention."""
+    from rat_tpu.nn.layers import _mhsa_batch_major, _mhsa_batch_minor
+
+    b, n, heads, dh = 512, 6, 8, 10
+    q, k, v = (jnp.asarray(rng.randn(b, n, heads * dh).astype(np.float32))
+               for _ in range(3))
+    scale = dh ** -0.5
+    a = _mhsa_batch_major(q, k, v, heads, scale)
+    c = _mhsa_batch_minor(q, k, v, heads, scale)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                               rtol=1e-5, atol=1e-5)
