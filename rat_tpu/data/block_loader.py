@@ -26,9 +26,10 @@ from .io import load_hdf5, save_hdf5_atomic
 from .loader import _fold_self_retrieval, _pool_retrieval
 
 
-def _union_idf_tables(block_arrays, used_cols):
-    """Per-column ``log(N/count)`` IDF over the union of blocks,
-    accumulated streaming (one block in memory at a time)."""
+def _union_idf_tables(block_arrays, used_cols, idf_weighting="lucene"):
+    """Per-column IDF over the union of blocks, accumulated streaming
+    (one block in memory at a time). ``idf_weighting`` follows
+    retrieval.bm25._compute_idf_tables."""
     from collections import Counter
     counters = [Counter() for _ in used_cols]
     N = 0
@@ -42,7 +43,12 @@ def _union_idf_tables(block_arrays, used_cols):
     for c in range(len(used_cols)):
         keys = np.array(sorted(counters[c]), dtype=np.int64)
         counts = np.array([counters[c][k] for k in keys], dtype=np.float64)
-        idf = np.log(N / counts).astype(np.float32)
+        if idf_weighting == "robertson":
+            idf = np.log((N - counts + 0.5) / (counts + 0.5)).astype(np.float32)
+            idf[keys == -1] = 0.0
+        else:
+            assert idf_weighting == "lucene", idf_weighting
+            idf = np.log(N / counts).astype(np.float32)
         tables.append((keys, idf))
     return tables, N
 
@@ -76,6 +82,12 @@ def _inter_block_retrieval(block_paths, qry_block_index, qry_darray,
         "inter_block_retrieval does not support label_wise"
     assert not rc.get("exact_match_col_indices"), \
         "inter_block_retrieval does not support exact_match_cols"
+    # the host-side running-top-K merge below uses non-negative-score
+    # sentinels (-1.0 = dropped), which Robertson's negative scores
+    # would break — reject rather than silently mis-rank
+    assert rc.get("generation", 4) != 1 \
+        and rc.get("idf_weighting", "lucene") != "robertson", \
+        "inter_block_retrieval supports only the lucene IDF (v2-v4)"
     used_cols = rc["used_col_indices"]
     topK = rc["topK"]
 
@@ -195,13 +207,19 @@ class DataBlockGenerator(object):
         or resized — filename-only keys are only safe for the
         intra-block modes whose result depends on the block alone.
         """
+        if getattr(self, "_digest", None) is not None:
+            return self._digest
         import hashlib
         h = hashlib.sha256()
         for p in self.data_blocks:
             with h5py.File(p, "r") as hf:
                 n = hf[list(hf.keys())[0]].shape[0]
             h.update(("%s:%d;" % (os.path.basename(p), n)).encode())
-        return h.hexdigest()[:10]
+        # the block list is fixed at construction, so memoize: this is
+        # called once per block per epoch and would otherwise re-open
+        # every block file each time (O(blocks^2) opens per epoch)
+        self._digest = h.hexdigest()[:10]
+        return self._digest
 
     def _block_retrieval(self, block_path, darray):
         """Returns (indices, values, lens, neighbor_rows-or-None)."""

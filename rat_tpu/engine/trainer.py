@@ -558,9 +558,21 @@ class Trainer(object):
 
     def load_weights(self, checkpoint):
         params, stats = self._host_weights()  # templates (and a barrier)
-        with open(checkpoint, "rb") as f:
-            payload = serialization.from_bytes(
-                {"params": params, "batch_stats": stats}, f.read())
+        template = {"params": params, "batch_stats": stats}
+        if self._multiprocess():
+            # save_weights writes bytes only on rank 0, and model_root
+            # need not be a shared filesystem on a pod — rank 0 reads,
+            # everyone else receives the payload over the network
+            from jax.experimental import multihost_utils
+            if jax.process_index() == 0:
+                with open(checkpoint, "rb") as f:
+                    payload = serialization.from_bytes(template, f.read())
+            else:
+                payload = template
+            payload = multihost_utils.broadcast_one_to_all(payload)
+        else:
+            with open(checkpoint, "rb") as f:
+                payload = serialization.from_bytes(template, f.read())
         if self.mesh is not None:
             # restore the SPMD layout (row-sharded tables etc.) so the
             # compiled steps don't reshard on every call

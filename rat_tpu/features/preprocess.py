@@ -140,12 +140,21 @@ class Tokenizer(object):
 
     # ---------------- encoding ----------------
 
+    def _string_vocab(self):
+        """True iff the REAL tokens are strings — the '__OOV__'/'__PAD__'
+        sentinels are always str, so they must not decide the dispatch
+        (a '5.0' vs '5' stringified lookup would OOV every numeric
+        value encoded against an int-fit vocab)."""
+        for k in self.vocab:
+            if k not in ("__OOV__", "__PAD__"):
+                return isinstance(k, str)
+        return False
+
     def encode_category(self, categories):
         enc = _fastenc(len(categories))
         # the C++ map only beats pandas' vectorized hash lookup for
         # string keys (it skips per-item boxing on huge columns)
-        if enc is not None and len(categories) and isinstance(
-                next(iter(self.vocab)), str):
+        if enc is not None and len(categories) and self._string_vocab():
             return np.array(enc.encode_category(
                 list(categories), self.vocab, self.oov_token))
         mapped = pd.Series(categories).map(self.vocab)

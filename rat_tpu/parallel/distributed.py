@@ -49,9 +49,20 @@ def host_local_batch_to_global(local_batch, mesh, axis="data"):
 
 
 def process_local_rows(n_global, batch_indices):
-    """Split a global index batch into this process's contiguous slice
-    (hosts shard the batch evenly; pad upstream so it divides)."""
+    """Split a global index batch into this process's contiguous slice.
+
+    The batch must divide evenly over processes — silently dropping the
+    remainder would train/eval on fewer rows than the step's ``valid``
+    divisor assumes. The trainer pads every batch to ``batch_size``,
+    which the mesh already requires to divide over all devices, so this
+    only fires on misconfiguration.
+    """
     k = jax.process_count()
     i = jax.process_index()
+    if len(batch_indices) % k:
+        raise ValueError(
+            "batch of {} rows does not divide over {} processes; pick a "
+            "batch_size that is a multiple of the process count".format(
+                len(batch_indices), k))
     per = len(batch_indices) // k
     return batch_indices[i * per: (i + 1) * per]

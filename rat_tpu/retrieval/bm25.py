@@ -476,6 +476,10 @@ def _exact_match_retrieval(db_np_data, qry_np_data, exact_match_col_indices,
     """
     Q = len(qry_np_data)
     N = len(db_np_data)
+    if N == 0:
+        # an empty pool (e.g. one label-wise sub-pool with no rows)
+        # matches nothing; the zero/-1-initialized outputs already say so
+        return
     exm_mask = np.zeros(db_np_data.shape[1], dtype=bool)
     exm_mask[exact_match_col_indices] = True
     rest_mask = ~exm_mask

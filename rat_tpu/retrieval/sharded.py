@@ -32,12 +32,14 @@ from .bm25 import (RetrievalResults, _compute_idf_tables, _idf_lookup,
                    _round_up)
 
 
-def _local_scan_topk(db_local, qry, qry_idf, first_row, n_db, topk, chunk_size):
+def _local_scan_topk(db_local, qry, qry_idf, first_row, n_db, topk,
+                     chunk_size, neg_pad=False):
     """Chunked score+top-k over this shard's rows; returns GLOBAL indices."""
     n_chunks = db_local.shape[0] // chunk_size
     db_chunks = db_local.reshape(n_chunks, chunk_size, db_local.shape[1])
     chunk_starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size
     local_ids = jnp.arange(chunk_size, dtype=jnp.int32)
+    pad_score = -jnp.inf if neg_pad else 0.0
 
     def body(carry, inputs):
         db_chunk, chunk_start = inputs
@@ -45,7 +47,7 @@ def _local_scan_topk(db_local, qry, qry_idf, first_row, n_db, topk, chunk_size):
             (qry[:, None, :] == db_chunk[None, :, :]) * qry_idf[:, None, :],
             axis=-1)
         row_ids = first_row + chunk_start + local_ids
-        scores = jnp.where(row_ids[None, :] < n_db, scores, 0.0)
+        scores = jnp.where(row_ids[None, :] < n_db, scores, pad_score)
         v, i = jax.lax.top_k(scores, topk)
         return carry, (v, i.astype(jnp.int32) + chunk_start + first_row)
 
@@ -58,9 +60,10 @@ def _local_scan_topk(db_local, qry, qry_idf, first_row, n_db, topk, chunk_size):
 
 
 @partial(jax.jit, static_argnames=("topk", "chunk_size", "mesh", "axis",
-                                   "dense_idf"))
+                                   "dense_idf", "neg_pad"))
 def _sharded_scan_batched(db_padded, qry_batches, idf_pack, n_db, topk,
-                          chunk_size, mesh, axis="data", dense_idf=True):
+                          chunk_size, mesh, axis="data", dense_idf=True,
+                          neg_pad=False):
     """One device program: scan over query batches, each batch scoring
     every pool shard in parallel and merging the all-gathered winners.
 
@@ -80,7 +83,8 @@ def _sharded_scan_batched(db_padded, qry_batches, idf_pack, n_db, topk,
             else:
                 qry_idf = _idf_lookup(qry, *idf_pack)
             v, i = _local_scan_topk(db_local, qry, qry_idf, first_row,
-                                    n_db[0], topk, chunk_size)
+                                    n_db[0], topk, chunk_size,
+                                    neg_pad=neg_pad)
             # ICI collective: gather every shard's K winners, merge
             # locally; shard-major concat keeps the lowest-index winner
             # on score ties
@@ -91,7 +95,12 @@ def _sharded_scan_batched(db_padded, qry_batches, idf_pack, n_db, topk,
             is_ = jnp.moveaxis(is_, 0, 1).reshape(B, -1)
             mv, sel = jax.lax.top_k(vs, topk)
             mi = jnp.take_along_axis(is_, sel, axis=-1)
-            drop = mv == 0
+            if neg_pad:
+                pad_hit = jnp.isneginf(mv)
+                mv = jnp.where(pad_hit, 0.0, mv)
+                drop = (mv == 0) | pad_hit
+            else:
+                drop = mv == 0
             mi = jnp.where(drop, -1, mi)
             lens = jnp.sum(~drop, axis=-1).astype(jnp.int32)
             return carry, (mv, mi, lens)
@@ -118,17 +127,24 @@ def _sharded_scan_batched(db_padded, qry_batches, idf_pack, n_db, topk,
 def sharded_bm25_topk_retrieval(db_np_data, qry_np_data, mesh,
                                 qry_batch_size=None, db_chunk_size=None,
                                 topK=10, axis="data", mega_batches=128,
+                                generation=4, idf_weighting=None,
                                 **kwargs):
     """Drop-in variant of bm25_topk_retrieval with the pool scan sharded
     over ``mesh`` axis ``axis``. Exact-match prefilter is not supported
-    on this path (none of the RAT configs use it)."""
+    on this path (none of the RAT configs use it). ``generation`` /
+    ``idf_weighting`` follow bm25_topk_retrieval (generation 1 =
+    Robertson IDF with negative-score semantics)."""
     assert not kwargs.get("exact_match_col_indices"), \
         "sharded scan does not implement the exact-match prefilter"
+    assert generation in (1, 2, 3, 4), generation
+    if idf_weighting is None:
+        idf_weighting = "robertson" if generation == 1 else "lucene"
+    robertson = idf_weighting == "robertson"
     db_np_data = np.ascontiguousarray(db_np_data, dtype=np.int64)
     qry_np_data = np.ascontiguousarray(qry_np_data, dtype=np.int64)
     Q, N = len(qry_np_data), len(db_np_data)
     n_shards = mesh.shape[axis]
-    idf_tables = _compute_idf_tables(db_np_data)
+    idf_tables = _compute_idf_tables(db_np_data, idf_weighting)
     idf_pack = _pack_idf_dense(idf_tables)
     dense_idf = idf_pack is not None
     if not dense_idf:
@@ -172,7 +188,8 @@ def sharded_bm25_topk_retrieval(db_np_data, qry_np_data, mesh,
         out = _sharded_scan_batched(db_dev, jnp.asarray(mb), idf_pack,
                                     jnp.int32(N), topk=topK,
                                     chunk_size=chunk_size, mesh=mesh,
-                                    axis=axis, dense_idf=dense_idf)
+                                    axis=axis, dense_idf=dense_idf,
+                                    neg_pad=robertson)
         lo = mb_start * qry_batch_size
         hi = min(lo + nb * qry_batch_size, Q)
         if pending is not None:

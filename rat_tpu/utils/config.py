@@ -32,18 +32,20 @@ def _config_shards(config_dir, stem):
 
 
 def _resolve_sections(shards, section_names):
-    """Scan shards for the named top-level sections; first shard that
-    defines a section wins; stop once all are found."""
-    remaining = set(section_names)
+    """Scan shards for the named top-level sections. Matching the
+    reference scan (utils.py:34-41): every shard that defines a section
+    OVERWRITES the previous holder, and scanning stops after the first
+    shard at whose end all sections have been seen — so a shard that
+    carries both ``Base`` and the expid supplies both, even when an
+    earlier shard also defined ``Base``."""
     found = {}
     for path in shards:
         with open(path, "r") as fh:
             doc = yaml.safe_load(fh) or {}
-        for name in list(remaining):
+        for name in section_names:
             if name in doc:
                 found[name] = doc[name]
-                remaining.discard(name)
-        if not remaining:
+        if len(found) == len(section_names):
             break
     return found
 

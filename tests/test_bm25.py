@@ -157,3 +157,13 @@ def test_exact_match_only_no_rest_columns(rng):
         got = res.indices[i][res.indices[i] >= 0]
         assert res.lens[i] == min(len(expect), 4)
         assert set(got) <= set(expect)
+
+
+def test_exact_match_empty_pool(rng):
+    """A label-wise sub-pool can be empty; exact-match retrieval must
+    return no neighbors rather than crash."""
+    q = rng.randint(0, 4, (4, 3))
+    res = bm25_topk_retrieval(np.zeros((0, 3), dtype=np.int64), q,
+                              exact_match_col_indices=[0], topK=3)
+    assert (res.lens == 0).all()
+    assert (res.indices == -1).all()

@@ -46,3 +46,22 @@ def test_monitor_weighted():
 
 def test_print_to_list():
     assert print_to_list({"AUC": 0.5}) == "AUC: 0.500000"
+
+
+def test_multishard_base_overwrite_matches_reference(tmp_path):
+    """Reference scan semantics (utils.py:34-41): a later shard's Base
+    overwrites an earlier one's, and the shard that completes the set
+    supplies both sections."""
+    mc = tmp_path / "model_config"
+    mc.mkdir()
+    (mc / "a.yaml").write_text(yaml.dump({"Base": {"batch_size": 32,
+                                                   "seed": 1}}))
+    (mc / "b.yaml").write_text(yaml.dump({"other_exp": {"dataset_id": "ds1"}}))
+    (mc / "c.yaml").write_text(yaml.dump(
+        {"Base": {"batch_size": 128},
+         "exp1": {"dataset_id": "ds1"}}))
+    (tmp_path / "dataset_config.yaml").write_text(
+        yaml.dump({"ds1": {"data_root": "./data/"}}))
+    params = load_config(str(tmp_path), "exp1")
+    assert params["batch_size"] == 128   # c.yaml's Base, not a.yaml's
+    assert "seed" not in params          # a.yaml's Base fully replaced

@@ -100,3 +100,21 @@ def test_native_sequence_encode_is_faster(fastenc, monkeypatch, rng):
     c_time = time.perf_counter() - t0
     np.testing.assert_array_equal(py_out, c_out)
     assert c_time < py_time, (py_time, c_time)
+
+
+def test_non_string_vocab_never_takes_stringify_path(fastenc, monkeypatch,
+                                                     rng):
+    """The '__OOV__' sentinel is a str even in int-fit vocabs; dispatch
+    must look at the REAL tokens, else dtype drift between fit and
+    transform (int-fit vocab, float queries) OOVs every value via
+    '5.0' != '5' stringified lookups."""
+    tok = Tokenizer()
+    values = rng.randint(0, 30, 2000).astype(np.int64)
+    tok.fit_on_texts(values)
+    assert not tok._string_vocab()
+    _force_native(monkeypatch)
+    queries = values[:500].astype(np.float64)  # dtype drift
+    out = tok.encode_category(list(queries))
+    expected = np.array([tok.vocab.get(int(x), 0) for x in queries])
+    np.testing.assert_array_equal(out, expected)
+    assert (out != 0).any()  # nothing silently OOV'd

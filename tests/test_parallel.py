@@ -179,6 +179,35 @@ print('MATCH')
 
 
 @pytest.mark.slow
+def test_sharded_bm25_generation1_matches_single_device():
+    """generation=1 (Robertson IDF, negative scores) must survive the
+    sharded dispatch — it used to be silently swallowed by **kwargs."""
+    code = """
+import numpy as np
+from rat_tpu.retrieval import bm25_topk_retrieval
+from rat_tpu.retrieval.sharded import sharded_bm25_topk_retrieval
+from rat_tpu.parallel import make_mesh
+rng = np.random.RandomState(3)
+# near-constant pool: value 0 covers ~90% of every column, so its
+# Robertson IDF is negative and all-zero queries' TOP-K scores are
+# negative (kept as valid neighbors, reference v1 semantics)
+db = (rng.rand(500, 4) > 0.9).astype(np.int64)
+q = (rng.rand(40, 4) > 0.9).astype(np.int64)
+mesh = make_mesh(n_devices=8, model_axis_size=1)
+r1 = bm25_topk_retrieval(db, q, db_chunk_size=64, topK=5, generation=1)
+r2 = sharded_bm25_topk_retrieval(db, q, mesh, db_chunk_size=16, topK=5,
+                                 generation=1)
+assert (r1.values < 0).any(), 'test data must exercise negative scores'
+np.testing.assert_allclose(r1.values, r2.values, rtol=1e-5)
+np.testing.assert_array_equal(r1.lens, r2.lens)
+print('MATCH')
+"""
+    r = _run_in_subprocess(code)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "MATCH" in r.stdout
+
+
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     """The 4-device DP x 2-way row-sharded step must produce the same
     loss as the unsharded step (SPMD is a partitioning, not a math
