@@ -151,6 +151,27 @@ _fused_block_vjp.defvjp(_fused_fwd, _fused_bwd)
 # supplies the parallelism instead.
 _MAX_BLOCK_B = 16
 
+# Scoped-VMEM budget for one kernel instance. The kernel's temporaries
+# scale with block_b * t * s_pad * W where W is the widest padded lane
+# width in play (the fused qkv, or d itself) — measured on v5e: the
+# KKBox shape (t=6, s=14->16, d=40, 3*h*dh=240->256) wants 23.2 MB at
+# block_b=8 against a 16 MB scoped limit, i.e. ~30 block-sized
+# temporaries. Budget 12 MB with that constant and clamp block_b.
+_VMEM_BUDGET_BYTES = 12_000_000
+_VMEM_TEMPS = 32
+
+
+def _auto_block_b(requested, t, s, d, heads, dim_head):
+    def pad(x, m):
+        return ((x + m - 1) // m) * m
+    w = max(pad(d, 128), pad(3 * heads * dim_head, 128))
+    per_row = _VMEM_TEMPS * t * pad(s, 8) * w * 4
+    fit = max(1, _VMEM_BUDGET_BYTES // per_row)
+    bb = 1
+    while bb * 2 <= min(requested, _MAX_BLOCK_B, fit):
+        bb *= 2
+    return bb
+
 
 def fused_cross_intra_block(x, params, heads, dim_head, project_out=True,
                             block_b=8, interpret=False):
@@ -158,8 +179,10 @@ def fused_cross_intra_block(x, params, heads, dim_head, project_out=True,
     backward pass is the VJP of the (mathematically identical) jnp
     reference — XLA fuses it well, and a handwritten backward kernel can
     swap in later without touching callers."""
+    _, t, s, d = x.shape
+    block_b = _auto_block_b(block_b, t, s, d, heads, dim_head)
     return _fused_block_vjp(x, params, heads, dim_head, project_out,
-                            min(block_b, _MAX_BLOCK_B), interpret)
+                            block_b, interpret)
 
 
 @partial(jax.jit, static_argnames=("heads", "dim_head", "project_out",
