@@ -65,3 +65,45 @@ def test_multishard_base_overwrite_matches_reference(tmp_path):
     params = load_config(str(tmp_path), "exp1")
     assert params["batch_size"] == 128   # c.yaml's Base, not a.yaml's
     assert "seed" not in params          # a.yaml's Base fully replaced
+
+
+def test_shipped_variant_configs_load_and_build():
+    """Every shipped experiment config must parse and build its model
+    (BASELINE configs list includes the m0/m1/m3 ablation heads)."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from rat_tpu.features import FeatureMap
+    from rat_tpu.models import build_model
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fm = FeatureMap("cfg_check", ".")
+    fm.feature_specs = {
+        "user_id": {"source": "", "type": "categorical", "vocab_size": 16,
+                    "index": 0},
+        "item_id": {"source": "", "type": "categorical", "vocab_size": 16,
+                    "index": 1},
+        "tag_id": {"source": "", "type": "categorical", "vocab_size": 16,
+                   "index": 2},
+    }
+    fm.num_fields, fm.num_features, fm.input_length = 3, 48, 3
+
+    checked = 0
+    for cfg_dir in sorted(glob.glob(os.path.join(repo, "configs", "RAT_m*",
+                                                 "movielenslatest_x1"))):
+        variant = cfg_dir.split(os.sep)[-2]
+        expid = f"{variant}_movielenslatest_x1_10fold_retrieval"
+        params = load_config(cfg_dir, expid)
+        assert params["model"] == variant
+        model = build_model(fm, params)
+        import jax
+        import jax.numpy as jnp
+        X = jnp.zeros((2, 6, 3), jnp.int32)
+        y = jnp.zeros((2, 6), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), X, y, train=False)
+        out = model.apply(variables, X, y, train=False)
+        assert np.isfinite(np.asarray(out["y_pred"])).all()
+        checked += 1
+    assert checked == 4  # m0, m1, m2, m3
