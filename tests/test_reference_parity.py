@@ -57,6 +57,58 @@ def _t(x):
     return torch.nn.Parameter(torch.from_numpy(np.asarray(x)).float())
 
 
+def _transplant_head(ref, params, spec, lr_spec):
+    """Copy the variant-independent parts (embeddings, label table, fc,
+    dnn tower, wide tower) into any reference RAT_mX module."""
+    import torch
+
+    packed = np.asarray(params["embedding_layer"]["table"])
+    ref_tables = ref.embedding_layer.embedding_layer.embedding_layer
+    for f, off in zip(spec.fields, spec.token_offsets):
+        vocab = ref_tables[f.name].weight.shape[0]
+        ref_tables[f.name].weight = _t(packed[off:off + vocab])
+    ref.label_embedding_layer.weight = _t(
+        params["label_embedding_layer"]["table"])
+    ref.fc.weight = _t(np.asarray(params["fc"]["kernel"]).T)
+    ref.fc.bias = _t(params["fc"]["bias"])
+    linears = [m for m in ref.dnn.dnn if isinstance(m, torch.nn.Linear)]
+    for i, lin in enumerate(linears):
+        dp = params["dnn"][f"Dense_{i}"]
+        lin.weight = _t(np.asarray(dp["kernel"]).T)
+        lin.bias = _t(dp["bias"])
+    if ref.lr_layer is not None:
+        lr_packed = np.asarray(
+            params["lr_layer"]["embedding_layer"]["table"])
+        lr_tables = ref.lr_layer.embedding_layer.embedding_layer.embedding_layer
+        for f, off in zip(lr_spec.fields, lr_spec.token_offsets):
+            vocab = lr_tables[f.name].weight.shape[0]
+            lr_tables[f.name].weight = _t(lr_packed[off:off + vocab])
+
+
+def _transplant_transformer(tmod, p):
+    """flax Transformer params (layers.py:249-266) -> reference
+    Transformer (RAT_m0.py:193-208)."""
+    for i, (attn, ff) in enumerate(tmod.layers):
+        ap = p[f"attn_{i}"]
+        attn.norm.weight = _t(ap["LayerNorm_0"]["scale"])
+        attn.norm.bias = _t(ap["LayerNorm_0"]["bias"])
+        att = ap["Attention_0"]
+        attn.fn.to_qkv.weight = _t(np.asarray(att["to_qkv"]["kernel"]).T)
+        if "to_out" in att:
+            attn.fn.to_out[0].weight = _t(np.asarray(att["to_out"]["kernel"]).T)
+            attn.fn.to_out[0].bias = _t(att["to_out"]["bias"])
+        fp = p[f"ff_{i}"]
+        ff.norm.weight = _t(fp["LayerNorm_0"]["scale"])
+        ff.norm.bias = _t(fp["LayerNorm_0"]["bias"])
+        fwd = fp["FeedForward_0"]
+        ff.fn.net[0].weight = _t(np.asarray(fwd["Dense_0"]["kernel"]).T)
+        ff.fn.net[0].bias = _t(fwd["Dense_0"]["bias"])
+        ff.fn.net[3].weight = _t(np.asarray(fwd["Dense_1"]["kernel"]).T)
+        ff.fn.net[3].bias = _t(fwd["Dense_1"]["bias"])
+    tmod.norm.weight = _t(p["LayerNorm_0"]["scale"])
+    tmod.norm.bias = _t(p["LayerNorm_0"]["bias"])
+
+
 def _transplant_rat_m2(ref, params, spec, lr_spec, depth):
     """Copy rat_tpu RATModel params into the reference RAT_m2 modules."""
     import torch
@@ -166,6 +218,105 @@ def test_rat_m2_forward_matches_reference():
     ref.eval()
     _transplant_rat_m2(ref, variables["params"], model.embedding_spec,
                        model.lr_spec, depth)
+
+    with torch.no_grad():
+        out = ref([torch.from_numpy(X), torch.from_numpy(y),
+                   torch.zeros(B, K), torch.zeros(B, dtype=torch.int64)])
+    theirs = out["y_pred"].numpy()[:, 0]
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["RAT_m0", "RAT_m1", "RAT_m3"])
+def test_variant_forward_matches_reference(variant):
+    """Ablation heads (RAT_JM / RAT_CE / RAT_PA) forward-parity vs the
+    live reference, incl. m3's shared-W_q halved-head quirks."""
+    _import_reference()
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from fuxictr.pytorch import models as ref_models
+
+    from rat_tpu.features import FeatureMap
+    from rat_tpu.models import build_model
+
+    vocabs = {"user_id": 23, "item_id": 17, "tag_id": 11}
+    specs = {
+        name: {"source": "", "type": "categorical", "vocab_size": v,
+               "index": i}
+        for i, (name, v) in enumerate(vocabs.items())}
+    fm = FeatureMap("parity_v", ".")
+    fm.feature_specs.update(specs)
+    fm.num_fields = 3
+    fm.num_features = sum(vocabs.values())
+    fm.input_length = 3
+
+    K, depth = 4, 2
+    model_params = {
+        "model": variant, "embedding_dim": 10,
+        "dnn_hidden_units": [32, 16], "dnn_activations": "relu",
+        "num_heads": 2, "dim_head": 10, "depth": depth, "scale_dim": 4,
+        "dropout": 0.0, "emb_dropout": 0.0, "net_dropout": 0.0,
+        "batch_norm": False, "use_wide": True,
+    }
+    model = build_model(fm, model_params)
+
+    rng = np.random.RandomState(11)
+    B = 6
+    X = rng.randint(0, 11, (B, 1 + K, 3)).astype(np.int64)
+    y = rng.randint(0, 2, (B, 1 + K)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(5), jnp.asarray(X),
+                           jnp.asarray(y), train=False)
+    ours = np.asarray(model.apply(variables, jnp.asarray(X), jnp.asarray(y),
+                                  train=False)["y_pred"])[:, 0]
+
+    ref_fm = _ref_feature_map(specs, num_fields=3)
+    ref = getattr(ref_models, variant)(
+        ref_fm, gpu=-1, embedding_dim=10, dnn_hidden_units=[32, 16],
+        dnn_activations="ReLU", num_heads=2, dim_head=10, depth=depth,
+        scale_dim=4, dropout=0.0, emb_dropout=0.0, net_dropout=0.0,
+        batch_norm=False, use_wide=True, retrieval_augmented=True,
+        retrieval_configs={"topK": K, "label_wise": False},
+        optimizer="adam", loss="binary_crossentropy",
+        model_root="/tmp/parity_exps/", metrics=["AUC"], verbose=0,
+        task="binary_classification")
+    ref.eval()
+
+    p = variables["params"]
+    _transplant_head(ref, p, model.embedding_spec, model.lr_spec)
+    if variant == "RAT_m0":
+        _transplant_transformer(ref.encoder, p["JointEncoder_0"]["encoder"])
+    elif variant == "RAT_m1":
+        cp = p["CascadeEncoder_0"]
+        _transplant_transformer(ref.intra_transformer,
+                                cp["intra_transformer"])
+        _transplant_transformer(ref.cross_transformer,
+                                cp["cross_transformer"])
+    else:  # RAT_m3: shared W_q, per-branch K/V, halved heads
+        for i, blk in enumerate(ref.encoder.encoder):
+            bp = p["encoder"][f"CrossIntraEncoderBlockPA_{i}"]
+            blk.W_q.weight = _t(np.asarray(bp["W_q"]).T)
+            blk.W_k_s.weight = _t(
+                np.asarray(bp["intra_attention"]["W_k"]["kernel"]).T)
+            blk.W_v_s.weight = _t(
+                np.asarray(bp["intra_attention"]["W_v"]["kernel"]).T)
+            blk.W_k_t.weight = _t(
+                np.asarray(bp["cross_attention"]["W_k"]["kernel"]).T)
+            blk.W_v_t.weight = _t(
+                np.asarray(bp["cross_attention"]["W_v"]["kernel"]).T)
+            for attr in ("intra_attention", "cross_attention"):
+                ap = bp[attr]
+                tmod = getattr(blk, attr)
+                tmod.norm.weight = _t(ap["LayerNorm_0"]["scale"])
+                tmod.norm.bias = _t(ap["LayerNorm_0"]["bias"])
+                tmod.fn.to_out[0].weight = _t(
+                    np.asarray(ap["to_out"]["kernel"]).T)
+                tmod.fn.to_out[0].bias = _t(ap["to_out"]["bias"])
+            blk.mlp.net[0].weight = _t(
+                np.asarray(bp["mlp"]["Dense_0"]["kernel"]).T)
+            blk.mlp.net[0].bias = _t(bp["mlp"]["Dense_0"]["bias"])
+            blk.mlp.net[3].weight = _t(
+                np.asarray(bp["mlp"]["Dense_1"]["kernel"]).T)
+            blk.mlp.net[3].bias = _t(bp["mlp"]["Dense_1"]["bias"])
 
     with torch.no_grad():
         out = ref([torch.from_numpy(X), torch.from_numpy(y),
