@@ -226,6 +226,104 @@ def test_rat_m2_forward_matches_reference():
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
 
 
+def test_rat_m2_gradients_match_reference():
+    """Backward parity: BCE-loss gradients agree leaf-for-leaf with the
+    reference under transplanted parameters — forward parity plus this
+    pins the whole training signal, not just inference."""
+    _import_reference()
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from fuxictr.pytorch.models import RAT_m2
+
+    from rat_tpu.features import FeatureMap
+    from rat_tpu.models import build_model
+
+    vocabs = {"user_id": 23, "item_id": 17, "tag_id": 11}
+    specs = {
+        name: {"source": "", "type": "categorical", "vocab_size": v,
+               "index": i}
+        for i, (name, v) in enumerate(vocabs.items())}
+    fm = FeatureMap("parity_g", ".")
+    fm.feature_specs.update(specs)
+    fm.num_fields = 3
+    fm.num_features = sum(vocabs.values())
+    fm.input_length = 3
+
+    K, depth = 4, 2
+    model_params = {
+        "model": "RAT_m2", "embedding_dim": 10,
+        "dnn_hidden_units": [32, 16], "dnn_activations": "relu",
+        "num_heads": 2, "dim_head": 10, "depth": depth, "scale_dim": 4,
+        "dropout": 0.0, "emb_dropout": 0.0, "net_dropout": 0.0,
+        "batch_norm": False, "use_wide": True,
+    }
+    model = build_model(fm, model_params)
+    rng = np.random.RandomState(21)
+    B = 8
+    X = rng.randint(0, 11, (B, 1 + K, 3)).astype(np.int64)
+    y = rng.randint(0, 2, (B, 1 + K)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(9), jnp.asarray(X),
+                           jnp.asarray(y), train=False)
+
+    def loss_fn(params):
+        out = model.apply({"params": params}, jnp.asarray(X),
+                          jnp.asarray(y), train=False)
+        p = jnp.clip(out["y_pred"][:, 0], 1e-7, 1 - 1e-7)
+        t = out["y_true"][:, 0]
+        return -jnp.mean(t * jnp.log(p) + (1 - t) * jnp.log1p(-p))
+
+    g = jax.grad(loss_fn)(variables["params"])
+
+    ref_fm = _ref_feature_map(specs, num_fields=3)
+    ref = RAT_m2(ref_fm, gpu=-1, embedding_dim=10,
+                 dnn_hidden_units=[32, 16], dnn_activations="ReLU",
+                 num_heads=2, dim_head=10, depth=depth, scale_dim=4,
+                 dropout=0.0, emb_dropout=0.0, net_dropout=0.0,
+                 batch_norm=False, use_wide=True, retrieval_augmented=True,
+                 retrieval_configs={"topK": K, "label_wise": False},
+                 optimizer="adam", loss="binary_crossentropy",
+                 model_root="/tmp/parity_exps/", metrics=["AUC"], verbose=0,
+                 task="binary_classification")
+    ref.train()
+    _transplant_rat_m2(ref, variables["params"], model.embedding_spec,
+                       model.lr_spec, depth)
+    out = ref([torch.from_numpy(X), torch.from_numpy(y),
+               torch.zeros(B, K), torch.zeros(B, dtype=torch.int64)])
+    pred = torch.clamp(out["y_pred"][:, 0], 1e-7, 1 - 1e-7)
+    t = out["y_true"][:, 0]
+    loss = -(t * torch.log(pred) + (1 - t) * torch.log1p(-pred)).mean()
+    loss.backward()
+
+    pairs = [
+        ("label table", g["label_embedding_layer"]["table"],
+         ref.label_embedding_layer.weight.grad),
+        ("fc kernel", np.asarray(g["fc"]["kernel"]).T, ref.fc.weight.grad),
+        ("dnn first kernel", np.asarray(g["dnn"]["Dense_0"]["kernel"]).T,
+         ref.dnn.dnn[0].weight.grad),
+        ("block0 intra qkv",
+         np.asarray(g["encoder"]["CrossIntraEncoderBlock_0"]
+                    ["intra_attention"]["Attention_0"]["to_qkv"]["kernel"]).T,
+         ref.encoder.encoder[0].intra_attention.fn.to_qkv.weight.grad),
+        ("block1 mlp kernel",
+         np.asarray(g["encoder"]["CrossIntraEncoderBlock_1"]
+                    ["mlp"]["Dense_0"]["kernel"]).T,
+         ref.encoder.encoder[1].mlp.net[0].weight.grad),
+    ]
+    for name, ours_g, theirs_g in pairs:
+        np.testing.assert_allclose(np.asarray(ours_g), theirs_g.numpy(),
+                                   atol=2e-5, rtol=1e-4, err_msg=name)
+    # packed-table gradient vs the per-field reference tables
+    packed_g = np.asarray(g["embedding_layer"]["table"])
+    ref_tables = ref.embedding_layer.embedding_layer.embedding_layer
+    for f, off in zip(model.embedding_spec.fields,
+                      model.embedding_spec.token_offsets):
+        theirs_g = ref_tables[f.name].weight.grad.numpy()
+        np.testing.assert_allclose(packed_g[off: off + len(theirs_g)],
+                                   theirs_g, atol=2e-5, rtol=1e-4,
+                                   err_msg=f.name)
+
+
 @pytest.mark.parametrize("variant", ["RAT_m0", "RAT_m1", "RAT_m3"])
 def test_variant_forward_matches_reference(variant):
     """Ablation heads (RAT_JM / RAT_CE / RAT_PA) forward-parity vs the
