@@ -74,3 +74,72 @@ def test_run_experiment_end_to_end(exp_dir):
     # second invocation reuses caches (fast path) and reproduces metrics
     valid2, test2 = run_experiment(exp_dir, "RAT_m2_e2e")
     assert valid2["AUC"] == pytest.approx(valid["AUC"], abs=0.05)
+
+
+@pytest.fixture()
+def kkbox_exp_dir(tmp_path, monkeypatch):
+    from rat_tpu.data.synthetic import make_kkbox_like
+    monkeypatch.chdir(tmp_path)
+    make_kkbox_like("./data/kk", n_train=3000, n_valid=600, n_test=600,
+                    n_users=80, n_songs=60, n_genres=12, seed=2)
+    cfg = tmp_path / "configs"
+    cfg.mkdir()
+    model_cfg = {
+        "RAT_m2_kk": {
+            "dataset_id": "kk_10fold_retrieval", "model": "RAT_m2",
+            "model_id": "RAT_m2_kk", "model_root": "./exps/",
+            "batch_size": 512, "embedding_dim": 8,
+            "dnn_hidden_units": [32, 32], "dnn_activations": "relu",
+            "embedding_regularizer": 0.01, "net_regularizer": 0,
+            "net_dropout": 0, "batch_norm": False, "learning_rate": 2e-3,
+            "epochs": 6, "num_heads": 2, "depth": 1, "dim_head": 8,
+            "dropout": 0.0, "emb_dropout": 0.0, "scale_dim": 2,
+            "use_wide": False, "retrieval_augmented": True,
+            "metrics": ["AUC", "logloss"], "monitor": "AUC",
+            "monitor_mode": "max", "patience": 3, "every_x_epochs": 1,
+            "seed": 7, "shuffle": True, "verbose": 0,
+            "loss": "binary_crossentropy", "optimizer": "adam",
+            "task": "binary_classification", "save_best_only": True,
+        }
+    }
+    # the KKBox field shape: categoricals + a '|'-separated SEQUENCE
+    # column with max_len + pooling (reference kkbox_x1.yaml:10-13);
+    # retrieval runs on the categorical cols like the reference's
+    # used_cols subset
+    dataset_cfg = {
+        "kk_10fold_retrieval": {
+            "data_format": "csv", "data_root": "./data/",
+            "feature_cols": [
+                {"active": True, "dtype": "float",
+                 "name": ["msno", "song_id"], "type": "categorical"},
+                {"active": True, "dtype": "str", "name": "genre_ids",
+                 "type": "sequence", "encoder": "MaskedAveragePooling",
+                 "max_len": 3, "splitter": "|"},
+            ],
+            "label_col": {"dtype": "float", "name": "label"},
+            "min_categr_count": 1,
+            "train_data": "./data/kk/train.csv",
+            "valid_data": "./data/kk/valid.csv",
+            "test_data": "./data/kk/test.csv",
+            "retrieval_configs": {
+                "used_cols": ["msno", "song_id"],
+                "exact_match_cols": [], "split_type": "4-fold",
+                "label_wise": False, "pool_ratio": 0.2,
+                "pre_retrieval": True, "enable_clean": False,
+                "qry_batch_size": 2000, "db_chunk_size": 5000, "topK": 3,
+            },
+        }
+    }
+    (cfg / "model_config.yaml").write_text(yaml.dump(model_cfg))
+    (cfg / "dataset_config.yaml").write_text(yaml.dump(dataset_cfg))
+    return str(cfg)
+
+
+@pytest.mark.slow
+def test_sequence_field_experiment_end_to_end(kkbox_exp_dir):
+    """KKBox-style path: sequence tokenizer fit, pooled packed
+    embedding, retrieval over a used_cols subset — CSV to metrics."""
+    from rat_tpu.cli.run_expid import run_experiment
+    valid, test = run_experiment(kkbox_exp_dir, "RAT_m2_kk")
+    assert valid["AUC"] > 0.62, valid
+    assert test["AUC"] > 0.6, test

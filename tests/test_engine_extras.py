@@ -113,3 +113,37 @@ def test_masked_average_pooling_sequence(rng):
     table = np.asarray(variables["params"]["table"])
     want = (table[1] + table[2]) / (2 + 1e-16)
     np.testing.assert_allclose(out, want, rtol=1e-6)
+
+
+def test_adam_step_matches_torch():
+    """torch.optim.Adam and our optax adam (behind global-norm clip)
+    must produce the same parameter trajectory for the same gradients —
+    torch: m_hat / (sqrt(v_hat) + eps), optax: the same with
+    eps_root=0 (SURVEY §7.3 risk item)."""
+    import jax.numpy as jnp
+    import torch
+
+    from rat_tpu.engine.optim import get_optimizer
+
+    rng = np.random.RandomState(0)
+    w0 = rng.randn(7, 5).astype(np.float32)
+    grads = [rng.randn(7, 5).astype(np.float32) * 3 for _ in range(5)]
+
+    tp = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.Adam([tp], lr=1e-3)
+    for gr in grads:
+        topt.zero_grad()
+        tp.grad = torch.from_numpy(gr.copy())
+        torch.nn.utils.clip_grad_norm_([tp], 10.0)
+        topt.step()
+
+    opt = get_optimizer("adam", 1e-3, max_gradient_norm=10.0)
+    params = {"w": jnp.asarray(w0)}
+    state = opt.init(params)
+    for gr in grads:
+        updates, state = opt.update({"w": jnp.asarray(gr)}, state, params)
+        import optax
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tp.detach().numpy(), atol=1e-6, rtol=1e-5)
