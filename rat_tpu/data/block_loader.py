@@ -84,10 +84,13 @@ def _inter_block_retrieval(block_paths, qry_block_index, qry_darray,
         "inter_block_retrieval does not support exact_match_cols"
     # the host-side running-top-K merge below uses non-negative-score
     # sentinels (-1.0 = dropped), which Robertson's negative scores
-    # would break — reject rather than silently mis-rank
-    assert rc.get("generation", 4) != 1 \
-        and rc.get("idf_weighting", "lucene") != "robertson", \
-        "inter_block_retrieval supports only the lucene IDF (v2-v4)"
+    # would break — reject rather than silently mis-rank. Resolve the
+    # effective weighting exactly as bm25_topk_retrieval does: explicit
+    # idf_weighting wins, else generation==1 implies Robertson.
+    effective_idf = rc.get("idf_weighting") or \
+        ("robertson" if rc.get("generation", 4) == 1 else "lucene")
+    assert effective_idf != "robertson", \
+        "inter_block_retrieval supports only the lucene IDF (non-negative scores)"
     used_cols = rc["used_col_indices"]
     topK = rc["topK"]
 

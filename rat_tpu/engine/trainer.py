@@ -24,6 +24,7 @@ relies on ragged batches).
 import logging
 import os
 import time
+from collections import deque
 from functools import partial
 
 import flax
@@ -553,20 +554,40 @@ class Trainer(object):
         if ids:
             yield flush()
 
+    #: pending dispatched groups before a fetch is forced; bounds HBM
+    #: residency (each group pins its source block's device buffers)
+    #: while leaving the device pipeline several groups deep
+    _EVAL_MAX_INFLIGHT_GROUPS = 8
+
+    def _eval_collect(self, data_gen, data=None):
+        """Drain _eval_dispatch with a bounded window of in-flight
+        groups: dispatch stays asynchronous (a fetched group's wait
+        overlaps later groups' compute) but block-mode eval can never
+        pin more than ~window blocks' device buffers at once — an
+        unbounded dispatch of a multi-block stream uploads every block
+        before anything completes and OOMs HBM."""
+        pending = deque()
+        preds, trues = [], []
+
+        def drain_one():
+            p, t, valids = pending.popleft()
+            P, T = jax.device_get((p, t))
+            for i, v in enumerate(valids):
+                preds.append(P[i][:v])
+                trues.append(T[i][:v])
+
+        for group in self._eval_dispatch(data_gen, data):
+            pending.append(group)
+            if len(pending) > self._EVAL_MAX_INFLIGHT_GROUPS:
+                drain_one()
+        while pending:
+            drain_one()
+        return np.concatenate(preds), np.concatenate(trues)
+
     def evaluate(self, data_gen, data=None):
         if self._jit_eval_step is None:
             self._build_steps()
-        # every group is dispatched before anything is fetched: a
-        # blocking device_get inside the loop would serialize eval on
-        # host<->device round-trip latency
-        outs = list(self._eval_dispatch(data_gen, data))
-        got = jax.device_get([(p, t) for p, t, _ in outs])
-        y_pred = np.concatenate(
-            [p[i][:v] for (p, t), (_, _, valids) in zip(got, outs)
-             for i, v in enumerate(valids)])
-        y_true = np.concatenate(
-            [t[i][:v] for (p, t), (_, _, valids) in zip(got, outs)
-             for i, v in enumerate(valids)])
+        y_pred, y_true = self._eval_collect(data_gen, data)
         return evaluate_metrics(y_true.astype(np.float64),
                                 y_pred.astype(np.float64),
                                 self._validation_metrics)
@@ -574,11 +595,8 @@ class Trainer(object):
     def predict(self, data_gen, data=None):
         if self._jit_eval_step is None:
             self._build_steps()
-        outs = list(self._eval_dispatch(data_gen, data))
-        got = jax.device_get([p for p, _, _ in outs])
-        return np.concatenate(
-            [p[i][:v] for p, (_, _, valids) in zip(got, outs)
-             for i, v in enumerate(valids)]).astype(np.float64)
+        y_pred, _ = self._eval_collect(data_gen, data)
+        return y_pred.astype(np.float64)
 
     # ---- full-state checkpoint/resume -----------------------------------
     def save_train_state(self, path):

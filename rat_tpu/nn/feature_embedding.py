@@ -147,6 +147,12 @@ class FeatureEmbeddingDict(nn.Module):
         if name == "KMaxPooling":
             k = kwargs.get("k", args[0] if args else 1)
             dim = kwargs.get("dim", args[1] if len(args) > 1 else -2)
+            if dim >= 0:
+                # reference configs write the axis against a 3-D
+                # [B, L, D] input (sequence.py:41); here the sequence
+                # span can be higher-rank ([B, 1+K, L, D] under the RAT
+                # grid), so anchor non-negative axes from the right
+                dim -= 3
             return k_max_pooling(emb, k, axis=dim)
         assert name == "Linear"
         # torch nn.Linear(in, out, bias=...): in_features is inferred

@@ -15,6 +15,7 @@ Parity notes:
   to identity when ``heads == 1 and dim_head == dim`` (RAT_m0.py:167).
 """
 
+import os
 from typing import Callable, Optional, Sequence
 
 import flax.linen as nn
@@ -216,8 +217,17 @@ def _mhsa(q, k, v, heads, scale):
     Dispatches on shape: the batch-minor layout wins whenever dim_head
     is far below the 128-lane tile and the folded batch is large enough
     to fill lanes; otherwise the textbook batched-matmul form (which
-    uses the MXU) is better.
+    uses the MXU) is better. The two layouts reassociate float sums
+    differently, so a checkpoint evaluated at batch sizes straddling
+    the b>=256 boundary can produce last-ulp-different logits;
+    RAT_TPU_ATTN_LAYOUT=batch_major|batch_minor pins one layout for
+    bit-reproducibility across batch sizes.
     """
+    forced = os.environ.get("RAT_TPU_ATTN_LAYOUT", "auto")
+    if forced == "batch_major":
+        return _mhsa_batch_major(q, k, v, heads, scale)
+    if forced == "batch_minor":
+        return _mhsa_batch_minor(q, k, v, heads, scale)
     b, n, inner = q.shape
     dh = inner // heads
     if dh <= 32 and b >= 256:

@@ -213,12 +213,20 @@ def test_jaccard_similarity_oracle(rng):
     assert sims[1, 1] == pytest.approx(0.0, abs=1e-6)
 
 
-def test_mhsa_batch_minor_matches_batch_major(rng):
+@pytest.mark.parametrize("b,heads,dh", [
+    (512, 8, 10),   # the RAT regime (tiny dim_head, huge folded batch)
+    (256, 4, 32),   # exactly on the dispatch boundary (dh<=32, b>=256)
+    (255, 4, 32),   # one below the batch threshold (batch-major side)
+    (256, 2, 33),   # one above the dim_head threshold (batch-major side)
+])
+def test_mhsa_batch_minor_matches_batch_major(rng, b, heads, dh):
     """The TPU batch-minor attention layout (picked for large folded
-    batches with tiny dim_head) is numerically the same attention."""
+    batches with tiny dim_head) is numerically the same attention,
+    including at the dispatch-boundary shapes where a checkpoint could
+    cross layouts between train and eval batch sizes."""
     from rat_tpu.nn.layers import _mhsa_batch_major, _mhsa_batch_minor
 
-    b, n, heads, dh = 512, 6, 8, 10
+    n = 6
     q, k, v = (jnp.asarray(rng.randn(b, n, heads * dh).astype(np.float32))
                for _ in range(3))
     scale = dh ** -0.5
@@ -226,3 +234,23 @@ def test_mhsa_batch_minor_matches_batch_major(rng):
     c = _mhsa_batch_minor(q, k, v, heads, scale)
     np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_mhsa_layout_override_knob(rng, monkeypatch):
+    """RAT_TPU_ATTN_LAYOUT pins one layout regardless of shape."""
+    from rat_tpu.nn import layers
+
+    b, n, heads, dh = 512, 6, 8, 10  # auto-dispatch picks batch-minor
+    q, k, v = (jnp.asarray(rng.randn(b, n, heads * dh).astype(np.float32))
+               for _ in range(3))
+    scale = dh ** -0.5
+    calls = []
+    real = layers._mhsa_batch_major
+    monkeypatch.setattr(layers, "_mhsa_batch_major",
+                        lambda *a: calls.append(1) or real(*a))
+    monkeypatch.setenv("RAT_TPU_ATTN_LAYOUT", "batch_major")
+    out = layers._mhsa(q, k, v, heads, scale)
+    assert calls, "override did not route to the batch-major kernel"
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(real(q, k, v, heads, scale)),
+                               rtol=1e-6, atol=1e-6)
