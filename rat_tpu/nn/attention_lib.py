@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .initializers import xavier_normal
-from .layers import MLPLayer
+from .layers import MLPLayer, TorchBatchNorm
 
 
 def scaled_dot_product_attention(Q, K, V, scale=None, mask=None,
@@ -62,9 +62,9 @@ class Dice(nn.Module):
 
     @nn.compact
     def __call__(self, X, train: bool = False):
-        p = nn.sigmoid(nn.BatchNorm(use_running_average=not train,
-                                    use_bias=False, use_scale=False,
-                                    momentum=0.99, epsilon=self.eps)(X))
+        p = nn.sigmoid(TorchBatchNorm(use_running_average=not train,
+                                      use_bias=False, use_scale=False,
+                                      momentum=0.99, epsilon=self.eps)(X))
         alpha = self.param("alpha", nn.initializers.zeros, (self.input_dim,))
         return p * X + (1 - p) * alpha * X
 

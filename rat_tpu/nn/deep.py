@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .initializers import xavier_normal
-from .layers import MLPLayer, get_activation
+from .layers import MLPLayer, TorchBatchNorm, get_activation
 
 
 class APGLinear(nn.Module):
@@ -165,8 +165,8 @@ class APGMLPLayer(nn.Module):
             is_hidden = idx < len(self.hidden_units)
             if is_hidden:
                 if self.batch_norm:
-                    outputs = nn.BatchNorm(use_running_average=not train,
-                                           momentum=0.9, epsilon=1e-5)(outputs)
+                    outputs = TorchBatchNorm(use_running_average=not train,
+                                             momentum=0.9, epsilon=1e-5)(outputs)
                 outputs = get_activation(acts[idx])(outputs)
                 if drops[idx] > 0:
                     outputs = nn.Dropout(rate=drops[idx],
@@ -201,8 +201,8 @@ class MLPBlock(nn.Module):
 
         def norm(h):
             if self.batch_norm:
-                return nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, epsilon=1e-5)(h)
+                return TorchBatchNorm(use_running_average=not train,
+                                      momentum=0.9, epsilon=1e-5)(h)
             if self.layer_norm:
                 return nn.LayerNorm(epsilon=1e-5)(h)
             return h

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .initializers import xavier_normal
+from .layers import TorchBatchNorm
 
 
 class InnerProductLayer(nn.Module):
@@ -180,6 +181,6 @@ class InteractionMachine(nn.Module):
                         + 24 * p5) / 120)
         y = jnp.concatenate(out, axis=-1)
         if self.batch_norm:
-            y = nn.BatchNorm(use_running_average=not train,
-                             momentum=0.9, epsilon=1e-5)(y)
+            y = TorchBatchNorm(use_running_average=not train,
+                               momentum=0.9, epsilon=1e-5)(y)
         return nn.Dense(1, kernel_init=xavier_normal)(y)

@@ -40,6 +40,52 @@ def get_activation(name):
     raise NotImplementedError("activation={}".format(name))
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch-parity running statistics.
+
+    flax's ``nn.BatchNorm`` folds the BIASED batch variance into the
+    running average; torch normalizes with the biased variance but
+    tracks the UNBIASED one (factor n/(n-1)). KKBox/Tmall configs train
+    with batch_norm on, so eval-time logits depend on this. ``momentum``
+    is the flax-style decay of the running average (torch momentum m
+    corresponds to decay 1-m).
+    """
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    use_scale: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        axes = tuple(range(x.ndim - 1))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(feat, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(feat, jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.mean(jnp.square(x - mean), axis=axes)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * unbiased)
+        y = (x - mean) / jnp.sqrt(var + self.epsilon)
+        if self.use_scale:
+            y = y * self.param("scale", nn.initializers.ones, (feat,))
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (feat,))
+        return y
+
+
 class MLPLayer(nn.Module):
     """Dense tower: [Linear, BatchNorm?, act, dropout?]* + output Linear."""
     input_dim: int
@@ -63,8 +109,8 @@ class MLPLayer(nn.Module):
             x = nn.Dense(units, use_bias=self.use_bias,
                          kernel_init=xavier_normal)(x)
             if self.batch_norm:
-                x = nn.BatchNorm(use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5)(x)
+                x = TorchBatchNorm(use_running_average=not train,
+                                   momentum=0.9, epsilon=1e-5)(x)
             x = get_activation(acts[i])(x)
             if drops[i] > 0:
                 x = nn.Dropout(rate=drops[i], deterministic=not train)(x)

@@ -254,3 +254,42 @@ def test_mhsa_layout_override_knob(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(real(q, k, v, heads, scale)),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_torch_batchnorm_matches_torch_running_stats(rng):
+    """TorchBatchNorm tracks the UNBIASED running variance like torch
+    (flax's BatchNorm folds in the biased one) — KKBox/Tmall train with
+    batch_norm on, so eval logits depend on this."""
+    import jax
+    import torch
+
+    from rat_tpu.nn.layers import TorchBatchNorm
+
+    x1 = rng.randn(32, 6).astype(np.float32)
+    x2 = rng.randn(32, 6).astype(np.float32)
+    bn = TorchBatchNorm(use_running_average=False)
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x1))
+    y1, mut = bn.apply(variables, jnp.asarray(x1), mutable=["batch_stats"])
+    variables = {"params": variables["params"],
+                 "batch_stats": mut["batch_stats"]}
+    y2, mut = bn.apply(variables, jnp.asarray(x2), mutable=["batch_stats"])
+    stats = mut["batch_stats"]
+
+    tbn = torch.nn.BatchNorm1d(6, eps=1e-5, momentum=0.1)
+    tbn.train()
+    ty1 = tbn(torch.from_numpy(x1))
+    ty2 = tbn(torch.from_numpy(x2))
+    np.testing.assert_allclose(np.asarray(y1), ty1.detach().numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y2), ty2.detach().numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(stats["mean"]),
+                               tbn.running_mean.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats["var"]),
+                               tbn.running_var.numpy(), atol=1e-6)
+
+    tbn.eval()
+    ye = TorchBatchNorm(use_running_average=True).apply(
+        {"params": variables["params"], "batch_stats": stats},
+        jnp.asarray(x1))
+    np.testing.assert_allclose(np.asarray(ye),
+                               tbn(torch.from_numpy(x1)).detach().numpy(),
+                               atol=1e-5)

@@ -1,0 +1,275 @@
+"""Multi-epoch training-TRAJECTORY equivalence vs the live torch
+reference (VERDICT r2 item 2).
+
+Per-step parity (forward logits, gradients, one Adam step) cannot see
+drift that only shows up over a whole run: the regularizer inside the
+loss loop, eval-cadence/LR-plateau/early-stop interaction, and fp32
+accumulation over many optimizer steps. This harness trains BOTH
+frameworks end-to-end on the same synthetic ML-Tag-shaped data —
+identical transplanted init, identical sequential batch order,
+identical retrieval caches (ours computed once, the reference loads the
+same h5 cache files) — and asserts the per-epoch train losses, every
+validation AUC/logloss the monitor saw, the early-stop point, and the
+final (possibly plateau-decayed) learning rate all agree.
+
+This is the honest proxy for the README AUC targets
+(reference exps/RAT_m2/*/RAT_m2_*.csv golden runs, produced by
+base_model.py:181-230) while the real datasets are absent.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_reference_parity import (REFERENCE, _import_reference,
+                                         _ref_feature_map, _transplant_rat_m2)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference tree not present")
+
+LR = 5e-3
+EPOCHS = 12
+BATCH = 256
+K, DEPTH = 3, 2
+VOCABS = {"user_id": 40, "item_id": 30, "tag_id": 20}
+
+
+def _synth_rows(n, rng):
+    """ML-Tag-shaped rows [u, i, t, label] with learnable signal."""
+    u = rng.randint(0, VOCABS["user_id"], n)
+    i = rng.randint(0, VOCABS["item_id"], n)
+    t = rng.randint(0, VOCABS["tag_id"], n)
+    logit = 1.2 * (u % 3 == 0) + 0.9 * (i % 2 == 0) + 0.5 * (t % 4 == 0) - 1.3
+    y = (rng.rand(n) < 1.0 / (1.0 + np.exp(-2.5 * logit))).astype(np.float64)
+    return np.stack([u, i, t, y], axis=1).astype(np.float64)
+
+
+def _specs():
+    return {name: {"source": "", "type": "categorical", "vocab_size": v,
+                   "index": idx}
+            for idx, (name, v) in enumerate(VOCABS.items())}
+
+
+def _retrieval_configs():
+    return {"used_col_indices": [0, 1, 2], "exact_match_col_indices": None,
+            "split_type": "2-fold", "label_wise": False,
+            "pre_retrieval": True, "topK": K, "qry_batch_size": 512,
+            "db_chunk_size": 1024, "device": "cpu", "enable_clean": False}
+
+
+MODEL_KNOBS = dict(
+    embedding_dim=10, dnn_hidden_units=[32, 16], num_heads=2, dim_head=10,
+    depth=DEPTH, scale_dim=4, dropout=0.0, emb_dropout=0.0, net_dropout=0.0,
+    use_wide=True)
+
+
+@pytest.fixture()
+def split_files(tmp_path):
+    """train/valid h5 splits + our retrieval caches in one data dir."""
+    from rat_tpu.data.io import save_hdf5
+
+    rng = np.random.RandomState(17)
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    train_h5 = str(data_dir / "train.h5")
+    valid_h5 = str(data_dir / "valid.h5")
+    save_hdf5(_synth_rows(1536, rng), train_h5)
+    save_hdf5(_synth_rows(512, rng), valid_h5)
+    return train_h5, valid_h5
+
+
+def _our_generators(train_h5, valid_h5, fm):
+    from rat_tpu.data.loader import DataGenerator
+    rc = _retrieval_configs()
+    train_gen = DataGenerator(data_path=train_h5, batch_size=BATCH,
+                              shuffle=False, feature_map=fm,
+                              retrieval_configs=rc,
+                              retrieval_pool_fname="self",
+                              retrieval_augmented=True)
+    valid_gen = DataGenerator(data_path=valid_h5, batch_size=BATCH,
+                              shuffle=False, feature_map=fm,
+                              retrieval_configs=rc,
+                              retrieval_pool_fname=train_h5,
+                              retrieval_augmented=True)
+    return train_gen, valid_gen
+
+
+def _ref_generators(train_h5, valid_h5, ref_fm):
+    """Reference loaders over the SAME h5 files; they find and load the
+    retrieval caches our generators just wrote (identical neighbors by
+    construction, not merely by tie-tolerant equivalence)."""
+    from fuxictr.pytorch.data_generator import DataGenerator as RefDG
+    rc = _retrieval_configs()
+    train_gen = RefDG(data_path=train_h5, batch_size=BATCH, shuffle=False,
+                      num_workers=0, feature_map=ref_fm,
+                      retrieval_configs=rc, retrieval_pool_fname="self",
+                      retrieval_augmented=True)
+    valid_gen = RefDG(data_path=valid_h5, batch_size=BATCH, shuffle=False,
+                      num_workers=0, feature_map=ref_fm,
+                      retrieval_configs=rc, retrieval_pool_fname=train_h5,
+                      retrieval_augmented=True)
+    return train_gen, valid_gen
+
+
+def _fit_ours(tmp_path, train_gen, valid_gen, fm, batch_norm):
+    """Train rat_tpu; return (params_used_for_init, epoch_losses,
+    eval_logs, final_lr)."""
+    from rat_tpu.engine import Trainer
+    from rat_tpu.engine.optim import get_learning_rate
+
+    params = dict(model="RAT_m2", model_id="RAT_m2_traj",
+                  model_root=str(tmp_path / "exps"),
+                  batch_size=BATCH, learning_rate=LR, epochs=EPOCHS,
+                  embedding_regularizer="l2(1.e-5)",
+                  net_regularizer="l2(1.e-5)",
+                  metrics=["AUC", "logloss"], monitor="AUC",
+                  monitor_mode="max", patience=2, every_x_epochs=1,
+                  save_best_only=True, reduce_lr_on_plateau=True,
+                  shuffle=False, verbose=0, seed=3,
+                  loss="binary_crossentropy", optimizer="adam",
+                  task="binary_classification", batch_norm=batch_norm,
+                  **MODEL_KNOBS)
+    trainer = Trainer(fm, params)
+    os.makedirs(trainer.model_dir, exist_ok=True)
+    trainer.init_state(np.zeros((2, 1 + K, fm.num_fields), np.int32),
+                       np.zeros((2, 1 + K), np.float32))
+    # host snapshot: the live buffers are donated by the jitted steps
+    import jax
+    init_params = jax.device_get(trainer.state.params)
+
+    losses, evals = [], []
+    orig_eval = trainer.evaluate
+
+    def rec_eval(gen, data=None):
+        logs = orig_eval(gen, data)
+        evals.append(dict(logs))
+        return logs
+
+    orig_epoch = trainer.train_one_epoch
+
+    def rec_epoch(gen, epoch):
+        out = orig_epoch(gen, epoch)
+        losses.append(float(out[0]))
+        return out
+
+    trainer.evaluate = rec_eval
+    trainer.train_one_epoch = rec_epoch
+    trainer.fit(train_gen, validation_data=valid_gen, epochs=EPOCHS)
+    final_lr = float(get_learning_rate(trainer.state.opt_state))
+    return trainer, init_params, losses, evals, final_lr
+
+
+def _fit_reference(tmp_path, init_params, spec, lr_spec, train_gen,
+                   valid_gen, ref_fm, batch_norm):
+    """Train the live torch reference from the transplanted init;
+    return (epoch_losses, eval_logs, final_lr)."""
+    from fuxictr.pytorch.models import RAT_m2
+
+    # the reference's fit_generator reads np.Inf, removed in NumPy 2.0
+    if not hasattr(np, "Inf"):
+        np.Inf = np.inf
+    # ... and calls sklearn log_loss(eps=1e-7), a parameter removed in
+    # sklearn 1.5; reproduce the old clipping semantics
+    import fuxictr.metrics as ref_metrics
+    from sklearn.metrics import log_loss as sk_log_loss
+    ref_metrics.log_loss = lambda y_true, y_pred, eps=1e-7: sk_log_loss(
+        y_true, np.clip(y_pred, eps, 1 - eps))
+
+    ref = RAT_m2(ref_fm, gpu=-1, learning_rate=LR,
+                 dnn_activations="ReLU",
+                 embedding_regularizer="l2(1.e-5)",
+                 net_regularizer="l2(1.e-5)",
+                 retrieval_augmented=True,
+                 retrieval_configs={"topK": K, "label_wise": False},
+                 optimizer="adam", loss="binary_crossentropy",
+                 model_root=str(tmp_path / "ref_exps"),
+                 metrics=["AUC", "logloss"], monitor="AUC",
+                 monitor_mode="max", patience=2, every_x_epochs=1,
+                 save_best_only=True, reduce_lr_on_plateau=True,
+                 verbose=0, task="binary_classification",
+                 batch_norm=batch_norm, **MODEL_KNOBS)
+    os.makedirs(ref.model_dir, exist_ok=True)
+    _transplant_rat_m2(ref, init_params, spec, lr_spec, DEPTH)
+    # __init__ compiled against the pre-transplant Parameter objects;
+    # rebind the optimizer to the transplanted ones
+    ref.compile("adam", loss="binary_crossentropy", lr=LR)
+
+    losses, evals = [], []
+    orig_eval = ref.evaluate_generator
+
+    def rec_eval(gen):
+        logs = orig_eval(gen)
+        evals.append(dict(logs))
+        return logs
+
+    orig_epoch = ref.train_one_epoch
+
+    def rec_epoch(gen, epoch):
+        loss = orig_epoch(gen, epoch)
+        losses.append(float(loss))
+        return loss
+
+    ref.evaluate_generator = rec_eval
+    ref.train_one_epoch = rec_epoch
+    ref.fit_generator(train_gen, epochs=EPOCHS, validation_data=valid_gen,
+                      verbose=0, max_gradient_norm=10.0)
+    final_lr = float(ref.optimizer.param_groups[0]["lr"])
+    return losses, evals, final_lr
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("batch_norm", [False, True])
+def test_training_trajectory_matches_reference(tmp_path, split_files,
+                                               batch_norm):
+    _import_reference()
+    train_h5, valid_h5 = split_files
+
+    from rat_tpu.features import FeatureMap
+    fm = FeatureMap("traj", ".")
+    fm.feature_specs.update(_specs())
+    fm.num_fields = 3
+    fm.num_features = sum(VOCABS.values())
+    fm.input_length = 3
+
+    # ours first: computes + caches retrieval for both splits
+    train_gen, valid_gen = _our_generators(train_h5, valid_h5, fm)
+    trainer, init_params, our_losses, our_evals, our_lr = _fit_ours(
+        tmp_path, train_gen, valid_gen, fm, batch_norm)
+
+    ref_fm = _ref_feature_map(_specs(), num_fields=3)
+    ref_train, ref_valid = _ref_generators(train_h5, valid_h5, ref_fm)
+    # both sides must consume the SAME cached neighbors
+    np.testing.assert_array_equal(np.asarray(ref_train.dataset.retr_indices),
+                                  train_gen.retr_indices)
+    ref_losses, ref_evals, ref_lr = _fit_reference(
+        tmp_path, init_params, trainer.model.embedding_spec,
+        trainer.model.lr_spec, ref_train, ref_valid, ref_fm, batch_norm)
+
+    # identical run shape: same early-stop epoch, same eval count
+    assert len(our_losses) == len(ref_losses), (our_losses, ref_losses)
+    assert len(our_evals) == len(ref_evals), (our_evals, ref_evals)
+    assert len(our_evals) >= 3, "harness must cover >= 3 evaluations"
+
+    # per-epoch train loss (includes the in-loop regularizer)
+    np.testing.assert_allclose(our_losses, ref_losses, atol=2e-4, rtol=0,
+                               err_msg="train-loss trajectory diverged")
+
+    # every validation the monitor saw. Tolerance note: train losses
+    # agree to ~1e-6, but eval metrics wander up to ~5e-4 — Adam from
+    # the 1e-4-std embedding init divides by sqrt(v)~0 early, so the
+    # SIGN of ~1e-8 fp32 gradient noise decides full +/-lr steps on
+    # individual coordinates; this bounds achievable cross-framework
+    # eval agreement at ~1e-3, independent of semantics (verified:
+    # single-step forward/grad/BN-buffer parity is exact to 1e-7).
+    for ours, theirs in zip(our_evals, ref_evals):
+        assert abs(ours["AUC"] - theirs["AUC"]) < 1e-3, (our_evals, ref_evals)
+        assert abs(ours["logloss"] - theirs["logloss"]) < 1e-3, (
+            our_evals, ref_evals)
+
+    # LR-plateau events coincide (lr decays are x0.1 steps, so equality
+    # of final lr pins the same number of plateau events on both sides)
+    assert np.isclose(our_lr, ref_lr, rtol=1e-6), (our_lr, ref_lr)
+    # ... and the run genuinely exercised a plateau or an early stop
+    assert our_lr < LR * 0.99 or len(our_losses) < EPOCHS, \
+        "hyperparameters no longer trigger a plateau/early-stop event"
