@@ -30,6 +30,11 @@ def run_experiment(config_dir, experiment_id, version="tpu", gpu=-1,
     topology spec — "4x2" (data x model), an int (pure DP), or a config
     ``mesh:`` key / RAT_TPU_MESH env var (see parallel.resolve_mesh).
     Default: single device."""
+    if platform == "auto":
+        # autotuner slots pin a platform per subprocess via this env var
+        # (an in-process jax.config update: site hooks may override the
+        # JAX_PLATFORMS env var itself)
+        platform = os.environ.get("RAT_TPU_PLATFORM", "auto")
     if platform != "auto":
         import jax
         jax.config.update("jax_platforms", platform)

@@ -46,11 +46,12 @@ def _retrieve(db_np_data, qry_np_data, retrieval_configs):
     engine_kwargs = {k: v for k, v in rc.items() if k not in _DRIVER_KEYS}
     mesh = rc.get("mesh")
     min_rows = rc.get("sharded_pool_min_rows", _SHARDED_POOL_MIN_ROWS)
-    if (mesh is not None and len(db_np_data) >= min_rows
-            and not rc.get("exact_match_col_indices")):
+    if mesh is not None and len(db_np_data) >= min_rows:
         from ..retrieval.sharded import sharded_bm25_topk_retrieval
-        logging.info("Sharded BM25 pool scan over mesh {} ({} rows)".format(
-            dict(mesh.shape), len(db_np_data)))
+        logging.info("Sharded BM25 pool scan over mesh {} ({} rows{})".format(
+            dict(mesh.shape), len(db_np_data),
+            ", dense exact-match mask"
+            if rc.get("exact_match_col_indices") else ""))
         return sharded_bm25_topk_retrieval(db_np_data, qry_np_data, mesh,
                                            **engine_kwargs)
     return bm25_topk_retrieval(db_np_data=db_np_data,

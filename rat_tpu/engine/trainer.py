@@ -68,21 +68,41 @@ def get_loss_fn(loss):
     return loss  # callable
 
 
-def _gather_batch(data, idx):
+def _gather_batch(data, idx, dedup_neighbors=False):
     """Assemble the [B, 1+K, L] grid from device-resident split arrays.
-    Returns (X tokens, y labels, X_num or None)."""
+    Returns (X tokens, y labels, X_num or None).
+
+    ``dedup_neighbors`` routes the pool-row gather through
+    unique-ids + inverse-gather: neighbors repeat heavily within a batch
+    (SURVEY §7.3), and a sorted-unique id vector is the traffic lever
+    for the row-sharded all-to-all lookup (and gives the single-chip
+    gather better HBM locality). Static shapes force the unique buffer
+    to full [B*K] capacity, so outputs are IDENTICAL by construction
+    (parity-tested on the 8-device CPU mesh); whether the collective
+    schedule actually wins is a one-flag A/B on real multi-chip
+    hardware. Off by default.
+    """
     Xt = data["tokens"][idx]
     yt = data["labels"][idx]
     Xf = data["numeric"][idx] if "numeric" in data else None
     if "nbr" in data:
         nb = data["nbr"][idx]
-        Xn = data["pool_tokens"][nb]
-        yn = data["pool_labels"][nb]
+
+        def pool_gather(pool):
+            if not dedup_neighbors:
+                return pool[nb]
+            flat = nb.reshape(-1)
+            uniq, inv = jnp.unique(flat, return_inverse=True,
+                                   size=flat.shape[0], fill_value=0)
+            return pool[uniq][inv.reshape(nb.shape)]
+
+        Xn = pool_gather(data["pool_tokens"])
+        yn = pool_gather(data["pool_labels"])
         X = jnp.concatenate([Xt[:, None, :], Xn], axis=1)
         y = jnp.concatenate([yt[:, None], yn], axis=1)
         if Xf is not None:
-            Xf = jnp.concatenate([Xf[:, None, :], data["pool_numeric"][nb]],
-                                 axis=1)
+            Xf = jnp.concatenate(
+                [Xf[:, None, :], pool_gather(data["pool_numeric"])], axis=1)
     else:
         X = Xt[:, None, :]
         y = yt[:, None]
@@ -244,6 +264,8 @@ class Trainer(object):
         net_reg = self._net_regularizer
         has_bn = self._batch_norm
         loss_fn_elem = get_loss_fn(self.params.get("loss", "binary_crossentropy"))
+        dedup = bool(self.params.get("dedup_neighbors", False)) or \
+            os.environ.get("RAT_TPU_DEDUP_NEIGHBORS") == "1"
         use_fast = self._use_fast_forward()
         if use_fast:
             from ..models.fast_forward import rat_m2_fast_forward
@@ -284,7 +306,7 @@ class Trainer(object):
                 variables = {"params": params}
                 if has_bn:
                     variables["batch_stats"] = state.batch_stats
-                X, y, Xf = _gather_batch(data, idx)
+                X, y, Xf = _gather_batch(data, idx, dedup_neighbors=dedup)
                 if use_fast:
                     out = rat_m2_fast_forward(params, model, X, y, Xf)
                     new_stats = state.batch_stats
@@ -317,7 +339,7 @@ class Trainer(object):
             variables = {"params": state.params}
             if has_bn:
                 variables["batch_stats"] = state.batch_stats
-            X, y, Xf = _gather_batch(data, idx)
+            X, y, Xf = _gather_batch(data, idx, dedup_neighbors=dedup)
             if use_fast:
                 out = rat_m2_fast_forward(state.params, model, X, y, Xf)
             else:

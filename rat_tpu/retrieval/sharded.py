@@ -33,8 +33,16 @@ from .bm25 import (RetrievalResults, _compute_idf_tables, _idf_lookup,
 
 
 def _local_scan_topk(db_local, qry, qry_idf, first_row, n_db, topk,
-                     chunk_size, neg_pad=False):
-    """Chunked score+top-k over this shard's rows; returns GLOBAL indices."""
+                     chunk_size, neg_pad=False, rest_cols=None,
+                     exm_cols=None):
+    """Chunked score+top-k over this shard's rows; returns GLOBAL indices.
+
+    With ``exm_cols`` set, the score is the single-device engine's
+    exact-match semantics: BM25 over ``rest_cols`` only, then
+    ``(score + 1) * 1[all exact-match columns equal]`` — a dense mask
+    instead of the host-side candidate windows, which parallelizes
+    trivially across pool shards. ``qry_idf`` is then [B, len(rest)].
+    """
     n_chunks = db_local.shape[0] // chunk_size
     db_chunks = db_local.reshape(n_chunks, chunk_size, db_local.shape[1])
     chunk_starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size
@@ -43,9 +51,18 @@ def _local_scan_topk(db_local, qry, qry_idf, first_row, n_db, topk,
 
     def body(carry, inputs):
         db_chunk, chunk_start = inputs
-        scores = jnp.sum(
-            (qry[:, None, :] == db_chunk[None, :, :]) * qry_idf[:, None, :],
-            axis=-1)
+        if exm_cols is None:
+            scores = jnp.sum(
+                (qry[:, None, :] == db_chunk[None, :, :])
+                * qry_idf[:, None, :], axis=-1)
+        else:
+            rest = list(rest_cols)
+            scores = jnp.sum(
+                (qry[:, None, rest] == db_chunk[None, :, rest])
+                * qry_idf[:, None, :], axis=-1)
+            cand = jnp.all(qry[:, None, list(exm_cols)]
+                           == db_chunk[None, :, list(exm_cols)], axis=-1)
+            scores = (scores + 1.0) * cand
         row_ids = first_row + chunk_start + local_ids
         scores = jnp.where(row_ids[None, :] < n_db, scores, pad_score)
         v, i = jax.lax.top_k(scores, topk)
@@ -60,10 +77,11 @@ def _local_scan_topk(db_local, qry, qry_idf, first_row, n_db, topk,
 
 
 @partial(jax.jit, static_argnames=("topk", "chunk_size", "mesh", "axis",
-                                   "dense_idf", "neg_pad"))
+                                   "dense_idf", "neg_pad", "rest_cols",
+                                   "exm_cols"))
 def _sharded_scan_batched(db_padded, qry_batches, idf_pack, n_db, topk,
                           chunk_size, mesh, axis="data", dense_idf=True,
-                          neg_pad=False):
+                          neg_pad=False, rest_cols=None, exm_cols=None):
     """One device program: scan over query batches, each batch scoring
     every pool shard in parallel and merging the all-gathered winners.
 
@@ -78,13 +96,15 @@ def _sharded_scan_batched(db_padded, qry_batches, idf_pack, n_db, topk,
         first_row = jax.lax.axis_index(axis).astype(jnp.int32) * shard_rows
 
         def body(carry, qry):
+            qry_rest = qry if exm_cols is None else qry[:, list(rest_cols)]
             if dense_idf:
-                qry_idf = _idf_lookup_dense(qry, *idf_pack)
+                qry_idf = _idf_lookup_dense(qry_rest, *idf_pack)
             else:
-                qry_idf = _idf_lookup(qry, *idf_pack)
+                qry_idf = _idf_lookup(qry_rest, *idf_pack)
             v, i = _local_scan_topk(db_local, qry, qry_idf, first_row,
                                     n_db[0], topk, chunk_size,
-                                    neg_pad=neg_pad)
+                                    neg_pad=neg_pad, rest_cols=rest_cols,
+                                    exm_cols=exm_cols)
             # ICI collective: gather every shard's K winners, merge
             # locally; shard-major concat keeps the lowest-index winner
             # on score ties
@@ -130,21 +150,33 @@ def sharded_bm25_topk_retrieval(db_np_data, qry_np_data, mesh,
                                 generation=4, idf_weighting=None,
                                 **kwargs):
     """Drop-in variant of bm25_topk_retrieval with the pool scan sharded
-    over ``mesh`` axis ``axis``. Exact-match prefilter is not supported
-    on this path (none of the RAT configs use it). ``generation`` /
-    ``idf_weighting`` follow bm25_topk_retrieval (generation 1 =
-    Robertson IDF with negative-score semantics)."""
-    assert not kwargs.get("exact_match_col_indices"), \
-        "sharded scan does not implement the exact-match prefilter"
+    over ``mesh`` axis ``axis``. ``generation`` / ``idf_weighting``
+    follow bm25_topk_retrieval (generation 1 = Robertson IDF with
+    negative-score semantics). The exact-match prefilter
+    (``exact_match_col_indices``) runs as a dense candidate mask inside
+    each shard's scan — identical output to the single-device windowed
+    path, tested on the 8-device CPU mesh."""
     assert generation in (1, 2, 3, 4), generation
     if idf_weighting is None:
         idf_weighting = "robertson" if generation == 1 else "lucene"
     robertson = idf_weighting == "robertson"
+    exm = kwargs.get("exact_match_col_indices") or None
+    if exm:
+        assert not robertson, \
+            "exact-match requires the lucene IDF (generations 2-4)"
+        exm = tuple(int(c) for c in exm)
     db_np_data = np.ascontiguousarray(db_np_data, dtype=np.int64)
     qry_np_data = np.ascontiguousarray(qry_np_data, dtype=np.int64)
     Q, N = len(qry_np_data), len(db_np_data)
     n_shards = mesh.shape[axis]
-    idf_tables = _compute_idf_tables(db_np_data, idf_weighting)
+    rest_cols = None
+    if exm:
+        rest_cols = tuple(c for c in range(db_np_data.shape[1])
+                          if c not in exm)
+        idf_tables = _compute_idf_tables(db_np_data[:, list(rest_cols)],
+                                         idf_weighting)
+    else:
+        idf_tables = _compute_idf_tables(db_np_data, idf_weighting)
     idf_pack = _pack_idf_dense(idf_tables)
     dense_idf = idf_pack is not None
     if not dense_idf:
@@ -189,7 +221,8 @@ def sharded_bm25_topk_retrieval(db_np_data, qry_np_data, mesh,
                                     jnp.int32(N), topk=topK,
                                     chunk_size=chunk_size, mesh=mesh,
                                     axis=axis, dense_idf=dense_idf,
-                                    neg_pad=robertson)
+                                    neg_pad=robertson, rest_cols=rest_cols,
+                                    exm_cols=exm)
         lo = mb_start * qry_batch_size
         hi = min(lo + nb * qry_batch_size, Q)
         if pending is not None:

@@ -248,3 +248,90 @@ print('MATCH')
     r = _run_in_subprocess(code)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "MATCH" in r.stdout
+
+
+@pytest.mark.slow
+def test_sharded_bm25_exact_match_matches_single_device():
+    """The dense exact-match mask inside the sharded scan must
+    reproduce the single-device engine's windowed exact-match path
+    (VERDICT r2 item 6: the sharded scan used to silently fall back to
+    one chip when exact_match_cols were configured)."""
+    code = """
+import numpy as np
+from rat_tpu.retrieval import bm25_topk_retrieval
+from rat_tpu.retrieval.sharded import sharded_bm25_topk_retrieval
+from rat_tpu.parallel import make_mesh
+rng = np.random.RandomState(5)
+db = rng.randint(0, 4, (400, 5))
+q = rng.randint(0, 4, (48, 5))
+exm = [0, 4]
+mesh = make_mesh(n_devices=8, model_axis_size=1)
+r1 = bm25_topk_retrieval(db, q, exact_match_col_indices=exm,
+                         qry_batch_size=16, db_chunk_size=64, topK=5)
+r2 = sharded_bm25_topk_retrieval(db, q, mesh, exact_match_col_indices=exm,
+                                 qry_batch_size=16, db_chunk_size=16, topK=5)
+np.testing.assert_allclose(r1.values, r2.values, rtol=1e-5)
+np.testing.assert_array_equal(r1.lens, r2.lens)
+# every returned neighbor must exactly match the query on exm columns
+for i in range(len(q)):
+    for j, idx in enumerate(r2.indices[i]):
+        if idx >= 0:
+            assert (db[idx, exm] == q[i, exm]).all(), (i, j, idx)
+    # tie-tolerant index equality: identical except within tied scores
+    same = r1.indices[i] == r2.indices[i]
+    assert same.all() or np.allclose(np.sort(r1.values[i]),
+                                     np.sort(r2.values[i]))
+print('MATCH')
+"""
+    r = _run_in_subprocess(code)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "MATCH" in r.stdout
+
+
+@pytest.mark.slow
+def test_dedup_neighbor_lookup_matches_direct_gather():
+    """dedup_neighbors=True (unique-ids + inverse-gather inside the
+    step, SURVEY §7.3's all-to-all traffic lever) must produce the
+    identical loss on the 8-device mesh AND single-device (VERDICT r2
+    item 7; the perf A/B waits for real multi-chip hardware)."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+import __graft_entry__ as g
+from rat_tpu.engine import Trainer
+from rat_tpu.parallel import make_mesh
+
+fm = g._tiny_feature_map()
+rng = np.random.RandomState(0)
+B, K, F, N = 16, 3, 3, 64
+darray = np.concatenate([rng.randint(0, 32, (N, F)),
+                         rng.randint(0, 2, (N, 1))], axis=1).astype(np.float64)
+
+class G: pass
+gen = G()
+gen.darray = darray; gen.pool_darray = darray
+# heavy duplication on purpose: neighbors drawn from only 8 pool rows
+gen.retr_indices = rng.randint(0, 8, (N, K)).astype(np.int64)
+gen.retr_lens = np.full(N, K); gen.retrieval_augmented = True
+gen.neighbor_gather_indices = lambda: gen.retr_indices.astype(np.int32)
+
+losses = {}
+for mesh in [None, make_mesh(n_devices=8, model_axis_size=2)]:
+    for dedup in (False, True):
+        params = dict(g._model_params(), dedup_neighbors=dedup)
+        tr = Trainer(fm, params, mesh=mesh)
+        tr.init_state(np.zeros((B, 1+K, F), np.int32),
+                      np.zeros((B, 1+K), np.float32))
+        tr._build_steps()
+        data = tr.device_split(gen)
+        idx = jnp.asarray(np.arange(B, dtype=np.int32))
+        _, loss = tr._jit_train_step(tr.state, data, idx, jnp.float32(B),
+                                     jax.random.PRNGKey(1))
+        losses[('mesh' if mesh is not None else 'single', dedup)] = float(loss)
+print(losses)
+assert losses[('single', False)] == losses[('single', True)], losses
+assert losses[('mesh', False)] == losses[('mesh', True)], losses
+print('MATCH')
+"""
+    r = _run_in_subprocess(code)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "MATCH" in r.stdout
