@@ -77,3 +77,57 @@ def make_kkbox_like(out_dir, n_train=8000, n_valid=2000, n_test=2000,
     df.iloc[n_train + n_valid:].to_csv(os.path.join(out_dir, "test.csv"),
                                        index=False)
     return df
+
+
+def make_tmall_like(out_dir, n_train=20_038_830, n_test=21_165_358,
+                    n_pool=20_000_000, n_users=400_000, n_items=800_000,
+                    n_cats=1600, n_sellers=200_000, n_brands=200_000,
+                    seed=0, chunk_rows=2_000_000):
+    """Full-Tmall-scale synthetic set for the single-chip rehearsal
+    (SURVEY §6: 20M train / 21.2M test rows, ~1.7M total vocab, explicit
+    retrieval-pool file — configs/datasets/tmall_x1.yaml
+    tmall_x1_002_retrieval). Writes train.csv / test.csv /
+    retrieval_pool.csv in streaming chunks so host memory stays at one
+    chunk. Labels carry a learnable latent signal through the id
+    columns so retrieval-augmented training is non-trivial.
+    """
+    rng = np.random.RandomState(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    cols = ["time_stamp", "user_id", "item_id", "cat_id", "seller_id",
+            "brand_id", "action_type", "age_range", "gender", "label"]
+    # small latent tables drive the label so ids are informative
+    u_bias = rng.normal(0, 0.9, 1024)
+    i_bias = rng.normal(0, 0.9, 1024)
+    c_bias = rng.normal(0, 0.6, 64)
+
+    def write(path, n_rows):
+        first = True
+        remaining = n_rows
+        while remaining > 0:
+            n = min(chunk_rows, remaining)
+            remaining -= n
+            user = rng.randint(0, n_users, n)
+            item = rng.randint(0, n_items, n)
+            cat = item % n_cats          # item determines category
+            seller = item % n_sellers    # ... and seller/brand, Tmall-style
+            brand = rng.randint(0, n_brands, n)
+            action = rng.randint(0, 4, n)
+            age = rng.randint(0, 9, n)
+            gender = rng.randint(0, 3, n)
+            logits = (u_bias[user % 1024] + i_bias[item % 1024]
+                      + c_bias[cat % 64] + 0.4 * (action == 2) - 1.0)
+            prob = 1.0 / (1.0 + np.exp(-logits))
+            label = (rng.uniform(size=n) < prob).astype(np.int8)
+            df = pd.DataFrame({
+                "time_stamp": np.zeros(n, np.int32), "user_id": user,
+                "item_id": item, "cat_id": cat, "seller_id": seller,
+                "brand_id": brand, "action_type": action,
+                "age_range": age, "gender": gender, "label": label,
+            }, columns=cols)
+            df.to_csv(path, index=False, mode="w" if first else "a",
+                      header=first)
+            first = False
+
+    write(os.path.join(out_dir, "train.csv"), n_train)
+    write(os.path.join(out_dir, "test.csv"), n_test)
+    write(os.path.join(out_dir, "retrieval_pool.csv"), n_pool)
