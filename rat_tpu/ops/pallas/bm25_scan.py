@@ -168,19 +168,15 @@ def _pick_block_q(B, cap):
 
 
 @partial(jax.jit, static_argnames=("topk", "block_q", "block_c", "interpret"))
-def bm25_topk_fused_pallas(qry, qry_idf, db_T_padded, db_valid_len, topk,
-                           block_q=256, block_c=4096, interpret=False):
-    """Fused BM25 score + running top-K over the whole pool.
-
-    qry: [B, F] int32, qry_idf: [B, F] f32, db_T_padded: [F, C] int32
-    with C % block_c == 0 (pad upstream; padded rows may hold anything —
-    they are masked by db_valid_len). Returns (values [B, K] f32,
-    indices [B, K] i32, -1 NOT yet applied to zero scores).
-
-    Unlike the XLA scan this never materializes [B, C] scores to HBM —
-    the tile scores live and die in VMEM, so HBM traffic is just the
-    pool stream plus [B, K] outputs.
-    """
+def bm25_topk_fused_pallas_qmajor(qry, qry_idf, db_T_padded, db_valid_len,
+                                  topk, block_q=256, block_c=4096,
+                                  interpret=False):
+    """Query-major grid variant (grid = (B/block_q, chunks); db keyed on
+    the inner dim, so the pool is re-streamed once per query block).
+    Measured equal to the chunk-major single-stream grid — the kernel is
+    VPU-bound and prefetch hides the redundant pool traffic (see
+    bm25_topk_fused_pallas) — and compiles ~1.8x faster, so this is the
+    default."""
     B, F = qry.shape
     C = db_T_padded.shape[1]
     block_q = _pick_block_q(B, block_q)
@@ -210,3 +206,129 @@ def bm25_topk_fused_pallas(qry, qry_idf, db_T_padded, db_valid_len, topk,
         interpret=interpret,
     )(nvalid, qry, qry_idf, db_T_padded)
     return outv, outi
+
+
+def _make_cmajor_kernel(block_q, block_c, K):
+    """Chunk-major fused kernel: grid = (chunks, query-blocks), with the
+    query batch, IDF and BOTH top-K accumulators whole-batch-resident in
+    VMEM (their block index is grid-invariant, so they are fetched once
+    and flushed once). The db tile's index depends only on the OUTER
+    chunk dim, so the pool streams from HBM exactly once per batch —
+    the q-major variant re-streams it (B/block_q) times, which is the
+    entire cost of a 20M-row pool scan.
+
+    The running top-K merge is a commutative monoid (max by
+    (score desc, pool index asc); global indices are unique), so
+    chunk-major fold order produces the identical result set and tie
+    order to the q-major/XLA chunk-major merges.
+    """
+
+    def kernel(nvalid_ref, qry_ref, idf_ref, db_ref, outv_ref, outi_ref):
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+        qs = i * block_q
+        F = qry_ref.shape[1]
+
+        @pl.when(j == 0)
+        def _():
+            outv_ref[pl.ds(qs, block_q), :] = jnp.full(
+                (block_q, K), -jnp.inf, jnp.float32)
+            outi_ref[pl.ds(qs, block_q), :] = jnp.full(
+                (block_q, K), _I32_MAX, jnp.int32)
+
+        qry = qry_ref[pl.ds(qs, block_q), :]
+        idf = idf_ref[pl.ds(qs, block_q), :]
+        db = db_ref[:]
+        scores = jnp.zeros((block_q, block_c), dtype=jnp.float32)
+        for f in range(F):  # F is tiny (3-11): unrolled, rank-2 layouts
+            eq = qry[:, f][:, None] == db[f, :][None, :]
+            scores = scores + eq.astype(jnp.float32) * idf[:, f][:, None]
+
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_c), 1) + j * block_c
+        scores = jnp.where(col < nvalid_ref[0], scores, 0.0)
+
+        work = jnp.concatenate([scores, outv_ref[pl.ds(qs, block_q), :]],
+                               axis=1)
+        gidx = jnp.concatenate([col, outi_ref[pl.ds(qs, block_q), :]],
+                               axis=1)
+        nv, ni = [], []
+        for _ in range(K):
+            m = jnp.max(work, axis=1, keepdims=True)
+            ci = jnp.where(work == m, gidx, _I32_MAX)
+            sel = jnp.min(ci, axis=1, keepdims=True)
+            nv.append(m)
+            ni.append(sel)
+            work = jnp.where(ci == sel, -jnp.inf, work)
+        outv_ref[pl.ds(qs, block_q), :] = jnp.concatenate(nv, axis=1)
+        outi_ref[pl.ds(qs, block_q), :] = jnp.concatenate(ni, axis=1)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("topk", "block_q", "block_c", "interpret"))
+def bm25_topk_fused_pallas_cmajor(qry, qry_idf, db_T_padded, db_valid_len,
+                                  topk, block_q=256, block_c=4096,
+                                  interpret=False):
+    """Chunk-major fused BM25 score + running top-K (see
+    _make_cmajor_kernel): one pool stream per query BATCH. Same
+    contract as the q-major variant."""
+    B, F = qry.shape
+    C = db_T_padded.shape[1]
+    block_q = _pick_block_q(B, block_q)
+    assert C % block_c == 0 and block_c >= topk, (C, block_c, topk)
+    grid = (C // block_c, B // block_q)
+    nvalid = jnp.asarray(db_valid_len, dtype=jnp.int32).reshape(1)
+    whole = lambda j, i: (0, 0)  # noqa: E731 — grid-invariant residents
+    outv, outi = pl.pallas_call(
+        _make_cmajor_kernel(block_q, block_c, topk),
+        out_shape=(jax.ShapeDtypeStruct((B, topk), jnp.float32),
+                   jax.ShapeDtypeStruct((B, topk), jnp.int32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, F), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, F), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, block_c), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((B, topk), whole, memory_space=pltpu.VMEM),
+                   pl.BlockSpec((B, topk), whole, memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(nvalid, qry, qry_idf, db_T_padded)
+    return outv, outi
+
+
+def bm25_topk_fused_pallas(qry, qry_idf, db_T_padded, db_valid_len, topk,
+                           block_q=256, block_c=4096, interpret=False):
+    """Fused BM25 score + running top-K over the whole pool.
+
+    qry: [B, F] int32, qry_idf: [B, F] f32, db_T_padded: [F, C] int32
+    with C % block_c == 0 (pad upstream; padded rows may hold anything —
+    they are masked by db_valid_len). Returns (values [B, K] f32,
+    indices [B, K] i32, -1 NOT yet applied to zero scores).
+
+    Unlike the XLA scan this never materializes [B, C] scores to HBM —
+    the tile scores live and die in VMEM.
+
+    Grid choice (measured, v5e, 20M-row pool, F=5, B=2560, hard
+    device_get sync): q-major (pool re-streamed per 128-query block) and
+    chunk-major (pool streamed ONCE per batch, whole-batch accumulators
+    VMEM-resident) run at the identical 664-665 ms/batch = 7.7e10
+    row-scores/s — the kernel is VPU-bound (~2.9e12 ops/s across score
+    + K selection passes) and the Pallas pipeline hides the redundant
+    HBM pool traffic completely. Default stays q-major (1.8x faster
+    Mosaic compile); RAT_TPU_BM25_CMAJOR=1 selects the chunk-major grid
+    (bit-identical outputs — parity-tested both in interpret mode and
+    on-chip).
+    """
+    import os
+    if os.environ.get("RAT_TPU_BM25_CMAJOR") == "1":
+        return bm25_topk_fused_pallas_cmajor(
+            qry, qry_idf, db_T_padded, db_valid_len, topk,
+            block_q=block_q, block_c=block_c, interpret=interpret)
+    return bm25_topk_fused_pallas_qmajor(
+        qry, qry_idf, db_T_padded, db_valid_len, topk,
+        block_q=block_q, block_c=block_c, interpret=interpret)

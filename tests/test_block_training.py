@@ -216,3 +216,41 @@ def test_inter_block_training_smoke(tiny_feature_map, demo_params, tmp_path):
     tr.fit(gen, validation_data=valid, epochs=6)
     logs = tr.evaluate(valid)
     assert logs["AUC"] > 0.8, logs
+
+
+def test_inter_block_guard_resolves_effective_idf(tmp_path):
+    """generation=1 with an EXPLICIT idf_weighting='lucene' resolves to
+    non-negative Lucene scores and must be accepted; bare generation=1
+    (implies Robertson) and explicit Robertson must be rejected
+    (ADVICE r2: the old guard rejected the valid combination)."""
+    def blocks(sub):
+        d = tmp_path / sub
+        d.mkdir()
+        paths = []
+        for i in range(2):
+            p = str(d / f"train_part_{i}.h5")
+            _write_split(p, n=24, seed=i)
+            paths.append(p)
+        return paths
+
+    ok = dict(RC, inter_block_retrieval=True, generation=1,
+              idf_weighting="lucene")
+    gen = DataBlockGenerator(blocks("ok"), batch_size=8,
+                             retrieval_configs=ok,
+                             retrieval_pool_fname="self",
+                             retrieval_augmented=True)
+    assert list(gen.iter_block_views())  # caches computed without asserts
+
+    # fresh dirs: the retrieval caches key on topK+fname only (reference
+    # semantics), so reusing the ok dir would load its cache and never
+    # reach the guard
+    for sub, bad in (
+            ("bad_gen1", dict(RC, inter_block_retrieval=True, generation=1)),
+            ("bad_rob", dict(RC, inter_block_retrieval=True,
+                             idf_weighting="robertson"))):
+        with pytest.raises(AssertionError, match="lucene"):
+            g = DataBlockGenerator(blocks(sub), batch_size=8,
+                                   retrieval_configs=bad,
+                                   retrieval_pool_fname="self",
+                                   retrieval_augmented=True)
+            list(g.iter_block_views())

@@ -49,12 +49,18 @@ def test_pallas_kernel_matches_reference(rng):
     np.testing.assert_array_equal(got, want)
 
 
-def _fused_case(rng, N, B, F, K, vocab, bc):
-    """Exact parity of the fused score+top-K kernel (interpret mode)
-    against the XLA scan, including tie-breaking and padded pools."""
-    from rat_tpu.ops.pallas.bm25_scan import bm25_topk_fused_pallas
+def _fused_case(rng, N, B, F, K, vocab, bc, variant="cmajor"):
+    """Exact parity of the fused score+top-K kernels (interpret mode)
+    against the XLA scan, including tie-breaking and padded pools.
+    Both grid variants must agree bit-for-bit: the chunk-major default
+    (pool streamed once per batch) and the r2 q-major layout."""
+    from rat_tpu.ops.pallas.bm25_scan import (bm25_topk_fused_pallas_cmajor,
+                                              bm25_topk_fused_pallas_qmajor)
     from rat_tpu.retrieval.bm25 import (_compute_idf_tables, _map_to_idf,
                                         _round_up, _scan_topk)
+    bm25_topk_fused_pallas = (bm25_topk_fused_pallas_cmajor
+                              if variant == "cmajor"
+                              else bm25_topk_fused_pallas_qmajor)
     db = rng.randint(0, vocab, (N, F)).astype(np.int64)
     q = db[rng.randint(0, N, B)]
     qidf = _map_to_idf(q, _compute_idf_tables(db))
@@ -74,16 +80,21 @@ def _fused_case(rng, N, B, F, K, vocab, bc):
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
-def test_fused_topk_parity_heavy_ties(rng):
-    _fused_case(rng, N=5000, B=64, F=3, K=5, vocab=50, bc=512)
+@pytest.mark.parametrize("variant", ["cmajor", "qmajor"])
+def test_fused_topk_parity_heavy_ties(rng, variant):
+    _fused_case(rng, N=5000, B=64, F=3, K=5, vocab=50, bc=512,
+                variant=variant)
 
 
-def test_fused_topk_parity_k_exceeds_pool(rng):
-    _fused_case(rng, N=8, B=16, F=3, K=10, vocab=5, bc=512)
+@pytest.mark.parametrize("variant", ["cmajor", "qmajor"])
+def test_fused_topk_parity_k_exceeds_pool(rng, variant):
+    _fused_case(rng, N=8, B=16, F=3, K=10, vocab=5, bc=512, variant=variant)
 
 
-def test_fused_topk_parity_wide_fields(rng):
-    _fused_case(rng, N=2000, B=128, F=5, K=7, vocab=200, bc=256)
+@pytest.mark.parametrize("variant", ["cmajor", "qmajor"])
+def test_fused_topk_parity_wide_fields(rng, variant):
+    _fused_case(rng, N=2000, B=128, F=5, K=7, vocab=200, bc=256,
+                variant=variant)
 
 
 def test_dense_idf_lookup_matches_host_map(rng):

@@ -175,3 +175,25 @@ def test_numeric_field():
     w = np.asarray(variables["params"]["numeric_weights_d4"])[0]
     np.testing.assert_allclose(np.asarray(out["price"]),
                                np.array([[2.0], [0.5]]) * w, rtol=1e-6)
+
+
+def test_kmax_pooling_positive_dim_anchors_from_right():
+    """Reference configs write KMaxPooling's axis against a 3-D
+    [B, L, D] input (dim=1 = sequence axis); under the RAT grid the
+    span is higher-rank ([B, 1+K, L, D]), so a positive dim must be
+    anchored from the right (ADVICE r2)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rat_tpu.nn.attention_lib import k_max_pooling
+    from rat_tpu.nn.feature_embedding import FeatureEmbeddingDict
+
+    emb = jnp.asarray(np.random.RandomState(0).randn(2, 3, 5, 4)
+                      .astype(np.float32))  # [B, 1+K, L, D]
+    mod = FeatureEmbeddingDict.__new__(FeatureEmbeddingDict)
+    out = mod._apply_encoder(emb, ("KMaxPooling", (), {"k": 2, "dim": 1}),
+                             "enc")
+    # dim=1 in the 3-D convention = the sequence axis = -2 here
+    want = k_max_pooling(emb, 2, axis=-2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+    assert out.shape == (2, 3, 2, 4)
