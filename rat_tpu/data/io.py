@@ -7,10 +7,12 @@ import h5py
 
 
 def save_hdf5(data_array, data_path, key="data"):
-    logging.info("Saving data to h5: " + data_path)
-    dir_name = os.path.dirname(data_path)
-    if dir_name and not os.path.exists(dir_name):
-        os.makedirs(dir_name)
+    """Append one dataset under ``key`` (same artifact layout as the
+    reference so its loaders can read our caches and vice versa)."""
+    logging.info("Saving data to h5: %s", data_path)
+    parent = os.path.dirname(data_path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     with h5py.File(data_path, "a") as hf:
         hf.create_dataset(key, data=data_array)
 
@@ -24,10 +26,10 @@ def save_hdf5_atomic(datasets, data_path):
     ``os.path.exists`` check (a partial file would KeyError on load and
     require manual deletion).
     """
-    logging.info("Saving data to h5: " + data_path)
-    dir_name = os.path.dirname(data_path)
-    if dir_name and not os.path.exists(dir_name):
-        os.makedirs(dir_name)
+    logging.info("Saving data to h5: %s", data_path)
+    parent = os.path.dirname(data_path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     tmp_path = data_path + ".tmp.%d" % os.getpid()
     try:
         with h5py.File(tmp_path, "w") as hf:

@@ -13,6 +13,7 @@ import numpy as np
 
 
 def seed_everything(seed=1029):
-    random.seed(seed)
+    """Seed every host-side RNG the pipeline can touch."""
     os.environ["PYTHONHASHSEED"] = str(seed)
-    np.random.seed(seed)
+    for seeder in (random.seed, np.random.seed):
+        seeder(seed)
