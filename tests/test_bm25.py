@@ -167,3 +167,19 @@ def test_exact_match_empty_pool(rng):
                               exact_match_col_indices=[0], topK=3)
     assert (res.lens == 0).all()
     assert (res.indices == -1).all()
+
+
+def test_value_counts_matches_unique():
+    """The bincount fast path must be np.unique(return_counts=True)
+    exactly, and negative/huge values must take the sort fallback."""
+    from rat_tpu.retrieval.bm25 import _value_counts
+
+    rng = np.random.RandomState(3)
+    for col in (rng.randint(0, 50, 5000),            # bincount path
+                rng.randint(-5, 50, 5000),           # negative -> fallback
+                np.array([2 ** 26, 0, 2 ** 26]),     # huge -> fallback
+                np.array([], dtype=np.int64)):       # empty
+        k1, c1 = _value_counts(col)
+        k2, c2 = np.unique(col, return_counts=True)
+        np.testing.assert_array_equal(k1, k2)
+        np.testing.assert_array_equal(c1, c2)

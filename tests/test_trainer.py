@@ -182,3 +182,40 @@ def test_shuffle_order_immune_to_global_np_random(tiny_feature_map,
         np.testing.assert_array_equal(a, b)
     # sanity: epochs themselves differ (it IS shuffling)
     assert not np.array_equal(clean[0], clean[1])
+
+
+def test_eval_collect_bounds_inflight_groups(monkeypatch):
+    """_eval_collect must never hold more than the configured window of
+    dispatched groups before forcing a fetch (ADVICE r2: unbounded
+    dispatch of a multi-block eval stream pins every block's device
+    buffers and OOMs HBM), while preserving order and completeness."""
+    import rat_tpu.engine.trainer as TR
+
+    tr = TR.Trainer.__new__(TR.Trainer)
+    tr._EVAL_MAX_INFLIGHT_GROUPS = 2
+    live, max_live = [], []
+
+    def dispatch(gen, data=None):
+        for g in range(7):
+            live.append(g)
+            max_live.append(len(live))
+            p = np.full((1, 4), g, np.float32)
+            t = np.full((1, 4), -g, np.float32)
+            yield p, t, [3]  # 3 of 4 rows valid
+
+    fetched = []
+    real_get = TR.jax.device_get
+
+    def spying_get(x):
+        g = int(np.asarray(x[0]).ravel()[0])
+        live.remove(g)
+        fetched.append(g)
+        return real_get(x)
+
+    monkeypatch.setattr(tr, "_eval_dispatch", dispatch)
+    monkeypatch.setattr(TR.jax, "device_get", spying_get)
+    preds, trues = tr._eval_collect(None)
+    assert max(max_live) <= tr._EVAL_MAX_INFLIGHT_GROUPS + 1, max_live
+    assert fetched == sorted(fetched)  # FIFO drain
+    np.testing.assert_array_equal(preds, np.repeat(np.arange(7.0), 3))
+    np.testing.assert_array_equal(trues, np.repeat(-np.arange(7.0), 3))
