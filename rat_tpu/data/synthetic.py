@@ -101,6 +101,10 @@ def make_tmall_like(out_dir, n_train=20_038_830, n_test=21_165_358,
     c_bias = rng.normal(0, 0.6, 64)
 
     def write(path, n_rows):
+        # stream into a sibling temp file and rename at the end: a
+        # killed run must never leave a truncated CSV that a later run
+        # (which keys on file existence) silently reuses
+        tmp = path + ".tmp"
         first = True
         remaining = n_rows
         while remaining > 0:
@@ -124,9 +128,10 @@ def make_tmall_like(out_dir, n_train=20_038_830, n_test=21_165_358,
                 "brand_id": brand, "action_type": action,
                 "age_range": age, "gender": gender, "label": label,
             }, columns=cols)
-            df.to_csv(path, index=False, mode="w" if first else "a",
+            df.to_csv(tmp, index=False, mode="w" if first else "a",
                       header=first)
             first = False
+        os.replace(tmp, path)
 
     write(os.path.join(out_dir, "train.csv"), n_train)
     write(os.path.join(out_dir, "test.csv"), n_test)

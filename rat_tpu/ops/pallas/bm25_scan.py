@@ -93,6 +93,51 @@ def bm25_score_chunk(qry, qry_idf, db_chunk, use_kernel=None):
 _I32_MAX = 2**31 - 1
 
 
+def _fold_topk_tile(qry, idf, db, cur_v, cur_i, j, nvalid, K):
+    """Score one (query, chunk) tile and fold it into the running top-K.
+
+    qry/idf: [BQ, F]; db: [F, BC] (field-major: lane dim = pool axis);
+    cur_v/cur_i: [BQ, K] running accumulator. Returns the merged
+    (values, indices). Shared by BOTH kernel grids so their exact
+    lexicographic (score desc, pool index asc) tie-breaking can never
+    drift apart.
+
+    Selection is K masked-max passes. Real scores are >= 0 > -inf and
+    BC >= K, so -inf init entries are never selected; global indices
+    are unique, so masking by (ci == sel) removes exactly the selected
+    element. Measured notes (v5e, B=2048 vs 200k pool, F=3, K=5): this
+    flat form runs ~4.6 ms/batch at (block_q=128, block_c=4096) —
+    VPU-peak for its ~39 ops/row-score. Two "smarter" variants measured
+    WORSE: a per-128-lane group-max hierarchy (rank-3 reshape =>
+    Mosaic relayouts, 3x slower) and a theta threshold skip (rarely
+    triggers under sparse-match data, breaks larger-block compiles).
+    """
+    BQ, F = qry.shape
+    BC = db.shape[1]
+    scores = jnp.zeros((BQ, BC), dtype=jnp.float32)
+    for f in range(F):  # F is tiny (3-11): unrolled, keeps rank-2 layouts
+        eq = qry[:, f][:, None] == db[f, :][None, :]
+        scores = scores + eq.astype(jnp.float32) * idf[:, f][:, None]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (BQ, BC), 1) + j * BC
+    # rows past the true pool length are padding: force score 0 (they
+    # are then dropped to index -1 by the zero-score finalize, like the
+    # XLA path's db_valid_len mask)
+    scores = jnp.where(col < nvalid, scores, 0.0)
+
+    work = jnp.concatenate([scores, cur_v], axis=1)
+    gidx = jnp.concatenate([col, cur_i], axis=1)
+    nv, ni = [], []
+    for _ in range(K):
+        m = jnp.max(work, axis=1, keepdims=True)
+        ci = jnp.where(work == m, gidx, _I32_MAX)
+        sel = jnp.min(ci, axis=1, keepdims=True)
+        nv.append(m)
+        ni.append(sel)
+        work = jnp.where(ci == sel, -jnp.inf, work)
+    return jnp.concatenate(nv, axis=1), jnp.concatenate(ni, axis=1)
+
+
 def _fused_topk_kernel(nvalid_ref, qry_ref, idf_ref, db_ref,
                        outv_ref, outi_ref):
     """One (query-block, chunk-block) tile: score in VMEM and fold into
@@ -107,8 +152,6 @@ def _fused_topk_kernel(nvalid_ref, qry_ref, idf_ref, db_ref,
     chunk-major ``lax.top_k`` merge (bm25.py::_scan_topk).
     """
     j = pl.program_id(1)
-    BQ, F = qry_ref.shape
-    BC = db_ref.shape[1]
     K = outv_ref.shape[1]
 
     @pl.when(j == 0)
@@ -116,46 +159,10 @@ def _fused_topk_kernel(nvalid_ref, qry_ref, idf_ref, db_ref,
         outv_ref[:] = jnp.full(outv_ref.shape, -jnp.inf, jnp.float32)
         outi_ref[:] = jnp.full(outi_ref.shape, _I32_MAX, jnp.int32)
 
-    qry = qry_ref[:]
-    idf = idf_ref[:]
-    db = db_ref[:]
-    scores = jnp.zeros((BQ, BC), dtype=jnp.float32)
-    for f in range(F):  # F is tiny (3-11): unrolled, keeps rank-2 layouts
-        eq = qry[:, f][:, None] == db[f, :][None, :]
-        scores = scores + eq.astype(jnp.float32) * idf[:, f][:, None]
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (BQ, BC), 1) + j * BC
-    # rows past the true pool length are padding: force score 0 (they are
-    # then dropped to index -1 by the zero-score finalize, like the XLA
-    # path's db_valid_len mask)
-    scores = jnp.where(col < nvalid_ref[0], scores, 0.0)
-
-    # fold tile + running accumulator: K exact lexicographic selection
-    # passes (score desc, pool index asc — identical tie-breaking to the
-    # XLA path's chunk-major lax.top_k merge). Real scores are >= 0 >
-    # -inf and BC >= K, so the -inf init entries are never selected;
-    # global indices are unique, so masking by (ci == sel) removes
-    # exactly the selected element.
-    #
-    # Measured notes (v5e, B=2048 vs 200k pool, F=3, K=5): this flat
-    # form runs ~4.6 ms/batch at (block_q=128, block_c=4096) — VPU-peak
-    # for its ~39 ops/row-score. Two "smarter" variants measured WORSE:
-    # a per-128-lane group-max hierarchy (rank-3 reshape + cross-sublane
-    # reductions => Mosaic relayouts, 3x slower) and a theta threshold
-    # skip (rarely triggers under sparse-match data, costs an extra
-    # reduce + branch duplication that breaks larger-block compiles).
-    work = jnp.concatenate([scores, outv_ref[:]], axis=1)
-    gidx = jnp.concatenate([col, outi_ref[:]], axis=1)
-    nv, ni = [], []
-    for _ in range(K):
-        m = jnp.max(work, axis=1, keepdims=True)
-        ci = jnp.where(work == m, gidx, _I32_MAX)
-        sel = jnp.min(ci, axis=1, keepdims=True)
-        nv.append(m)
-        ni.append(sel)
-        work = jnp.where(ci == sel, -jnp.inf, work)
-    outv_ref[:] = jnp.concatenate(nv, axis=1)
-    outi_ref[:] = jnp.concatenate(ni, axis=1)
+    v, i = _fold_topk_tile(qry_ref[:], idf_ref[:], db_ref[:],
+                           outv_ref[:], outi_ref[:], j, nvalid_ref[0], K)
+    outv_ref[:] = v
+    outi_ref[:] = i
 
 
 def _pick_block_q(B, cap):
@@ -227,7 +234,6 @@ def _make_cmajor_kernel(block_q, block_c, K):
         j = pl.program_id(0)
         i = pl.program_id(1)
         qs = i * block_q
-        F = qry_ref.shape[1]
 
         @pl.when(j == 0)
         def _():
@@ -236,32 +242,14 @@ def _make_cmajor_kernel(block_q, block_c, K):
             outi_ref[pl.ds(qs, block_q), :] = jnp.full(
                 (block_q, K), _I32_MAX, jnp.int32)
 
-        qry = qry_ref[pl.ds(qs, block_q), :]
-        idf = idf_ref[pl.ds(qs, block_q), :]
-        db = db_ref[:]
-        scores = jnp.zeros((block_q, block_c), dtype=jnp.float32)
-        for f in range(F):  # F is tiny (3-11): unrolled, rank-2 layouts
-            eq = qry[:, f][:, None] == db[f, :][None, :]
-            scores = scores + eq.astype(jnp.float32) * idf[:, f][:, None]
-
-        col = jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_c), 1) + j * block_c
-        scores = jnp.where(col < nvalid_ref[0], scores, 0.0)
-
-        work = jnp.concatenate([scores, outv_ref[pl.ds(qs, block_q), :]],
-                               axis=1)
-        gidx = jnp.concatenate([col, outi_ref[pl.ds(qs, block_q), :]],
-                               axis=1)
-        nv, ni = [], []
-        for _ in range(K):
-            m = jnp.max(work, axis=1, keepdims=True)
-            ci = jnp.where(work == m, gidx, _I32_MAX)
-            sel = jnp.min(ci, axis=1, keepdims=True)
-            nv.append(m)
-            ni.append(sel)
-            work = jnp.where(ci == sel, -jnp.inf, work)
-        outv_ref[pl.ds(qs, block_q), :] = jnp.concatenate(nv, axis=1)
-        outi_ref[pl.ds(qs, block_q), :] = jnp.concatenate(ni, axis=1)
+        v, i_ = _fold_topk_tile(qry_ref[pl.ds(qs, block_q), :],
+                                idf_ref[pl.ds(qs, block_q), :],
+                                db_ref[:],
+                                outv_ref[pl.ds(qs, block_q), :],
+                                outi_ref[pl.ds(qs, block_q), :],
+                                j, nvalid_ref[0], K)
+        outv_ref[pl.ds(qs, block_q), :] = v
+        outi_ref[pl.ds(qs, block_q), :] = i_
 
     return kernel
 

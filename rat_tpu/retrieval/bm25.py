@@ -383,6 +383,15 @@ def bm25_topk_retrieval(db_np_data, qry_np_data,
     db_dev = jnp.asarray(db_padded)
     db_valid_len = jnp.int32(N)
 
+    # bound device work per dispatch: one mega-dispatch is a single XLA
+    # execution, and multi-minute executions trip remote-runtime
+    # watchdogs (observed: a 128-batch mega against a 20M-row pool ~85s
+    # killed the TPU worker). ~5e11 row-scores ~= 7s on v5e — long
+    # enough to amortize dispatch overhead, short enough to stay alive.
+    max_scores = float(kwargs.get("max_scores_per_dispatch", 5e11))
+    per_batch = max(float(qry_batch_size) * max(N, 1), 1.0)
+    mega_batches = max(1, min(mega_batches, int(max_scores / per_batch)))
+
     # pad Q up to a whole number of batches so every dispatch reuses one
     # XLA program, then group batches into mega-dispatches
     n_batches = _round_up(Q, qry_batch_size) // qry_batch_size
@@ -473,6 +482,46 @@ def _exm_scan_topk(db_rest_sorted, qry, qry_idf, starts, lens,
     return v, pos
 
 
+def _exm_group_windows(db_np_data, qry_np_data, exact_match_col_indices):
+    """Host-side contiguous-group view of the pool under its exact-match
+    key: stable-sort the pool by key (ascending pool index within each
+    group — the order pandas groupby yields in the reference), then map
+    each query to its group window. Returns (perm, q_matched [Q] bool,
+    q_starts [Q] window start in sorted order, q_lens [Q] window len)."""
+    N = len(db_np_data)
+    exm_mask = np.zeros(db_np_data.shape[1], dtype=bool)
+    exm_mask[exact_match_col_indices] = True
+    db_keys = _rows_as_void(db_np_data[:, exm_mask])
+    perm = np.argsort(db_keys, kind="stable")
+    sorted_keys = db_keys[perm]
+    is_start = np.ones(N, dtype=bool)
+    is_start[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    grp_starts = np.nonzero(is_start)[0].astype(np.int64)
+    grp_lens = np.diff(np.append(grp_starts, N))
+    uniq_keys = sorted_keys[grp_starts]
+
+    qry_keys = _rows_as_void(qry_np_data[:, exm_mask])
+    gid = np.searchsorted(uniq_keys, qry_keys)
+    gid_c = np.minimum(gid, len(uniq_keys) - 1)
+    q_matched = uniq_keys[gid_c] == qry_keys
+    q_starts = grp_starts[gid_c]
+    q_lens = np.where(q_matched, grp_lens[gid_c], 0)
+    return perm, q_matched, q_starts, q_lens
+
+
+def _exm_flat_fill(b_starts, b_lens, perm, n_pool, topk):
+    """The reference's batch-level flat branch (data_utils.py:906-918):
+    all candidates returned in GROUP order with value 1.0, truncated at
+    topk. Returns (indices [B,K] i64 with -1 pad, values [B,K] f64,
+    lens [B] i64)."""
+    flat_offs = np.arange(topk, dtype=np.int64)
+    take_len = np.minimum(b_lens, topk)
+    pos = np.minimum(b_starts[:, None] + flat_offs[None, :], n_pool - 1)
+    valid = flat_offs[None, :] < take_len[:, None]
+    idx = np.where(valid, perm[pos], -1)
+    return idx, valid.astype(np.float64), take_len.astype(np.int64)
+
+
 def _exact_match_retrieval(db_np_data, qry_np_data, exact_match_col_indices,
                            qry_batch_size, topK,
                            topK_values, topK_indices, topK_lens):
@@ -501,23 +550,8 @@ def _exact_match_retrieval(db_np_data, qry_np_data, exact_match_col_indices,
     exm_mask[exact_match_col_indices] = True
     rest_mask = ~exm_mask
 
-    # contiguous-group view of the pool: stable sort keeps ascending
-    # pool index within each key group
-    db_keys = _rows_as_void(db_np_data[:, exm_mask])
-    perm = np.argsort(db_keys, kind="stable")
-    sorted_keys = db_keys[perm]
-    is_start = np.ones(N, dtype=bool)
-    is_start[1:] = sorted_keys[1:] != sorted_keys[:-1]
-    grp_starts = np.nonzero(is_start)[0].astype(np.int64)
-    grp_lens = np.diff(np.append(grp_starts, N))
-    uniq_keys = sorted_keys[grp_starts]
-
-    qry_keys = _rows_as_void(qry_np_data[:, exm_mask])
-    gid = np.searchsorted(uniq_keys, qry_keys)
-    gid_c = np.minimum(gid, len(uniq_keys) - 1)
-    q_matched = uniq_keys[gid_c] == qry_keys
-    q_starts = grp_starts[gid_c]
-    q_lens = np.where(q_matched, grp_lens[gid_c], 0)
+    perm, q_matched, q_starts, q_lens = _exm_group_windows(
+        db_np_data, qry_np_data, exact_match_col_indices)
 
     db_rest = db_np_data[:, rest_mask]
     qry_rest = qry_np_data[:, rest_mask]
@@ -526,7 +560,6 @@ def _exact_match_retrieval(db_np_data, qry_np_data, exact_match_col_indices,
     qry_batch_size = Q if qry_batch_size is None else max(qry_batch_size, 1)
 
     db_sorted_dev = None  # uploaded once, on first scored batch
-    flat_offs = np.arange(topK, dtype=np.int64)
 
     for qry_idx in range(0, Q, qry_batch_size):
         sl = slice(qry_idx, min(qry_idx + qry_batch_size, Q))
@@ -539,12 +572,7 @@ def _exact_match_retrieval(db_np_data, qry_np_data, exact_match_col_indices,
         if not has_rest or exm_max_size <= topK:
             # flat path: indices in group order, values 1.0; truncation
             # at topK only bites when there are no rest columns
-            take_len = np.minimum(b_lens, topK)
-            pos = np.minimum(b_starts[:, None] + flat_offs[None, :], N - 1)
-            valid = flat_offs[None, :] < take_len[:, None]
-            idx = np.where(valid, perm[pos], -1)
-            vals = valid.astype(np.float64)
-            lens = take_len
+            idx, vals, lens = _exm_flat_fill(b_starts, b_lens, perm, N, topK)
         else:
             if db_sorted_dev is None:
                 pad = _round_up(N, 8)

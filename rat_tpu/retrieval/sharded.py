@@ -196,6 +196,13 @@ def sharded_bm25_topk_retrieval(db_np_data, qry_np_data, mesh,
     topK_indices = np.full((Q, topK), -1, dtype=np.int64)
     topK_lens = np.zeros(Q, dtype=np.int64)
 
+    # bound device work per dispatch (see bm25.py: multi-minute single
+    # XLA executions trip remote-runtime watchdogs); per-shard work is
+    # N / n_shards rows per query
+    max_scores = float(kwargs.get("max_scores_per_dispatch", 5e11))
+    per_batch = max(float(qry_batch_size) * max(N, 1) / n_shards, 1.0)
+    mega_batches = max(1, min(mega_batches, int(max_scores / per_batch)))
+
     n_batches = _round_up(Q, qry_batch_size) // qry_batch_size
     qry_padded = np.zeros((n_batches * qry_batch_size, qry_np_data.shape[1]),
                           dtype=np.int32)
@@ -230,4 +237,30 @@ def sharded_bm25_topk_retrieval(db_np_data, qry_np_data, mesh,
         pending = (out, lo, hi)
     if pending is not None:
         collect(pending)
+
+    if exm:
+        # the reference's BATCH-LEVEL branch (data_utils.py:906-918,
+        # preserved by the single-device engine): a query batch whose
+        # largest matched group fits in topK takes the flat path — all
+        # candidates in GROUP order with value 1.0 — instead of scored
+        # order. Overwrite those batches' scan results so sharded output
+        # is identical to the single-device engine batch for batch.
+        from .bm25 import _exm_flat_fill, _exm_group_windows
+        perm, q_matched, q_starts, q_lens = _exm_group_windows(
+            db_np_data, qry_np_data, list(exm))
+        has_rest = len(rest_cols) > 0
+        for qs in range(0, Q, qry_batch_size):
+            sl = slice(qs, min(qs + qry_batch_size, Q))
+            m = q_matched[sl]
+            if not m.any():
+                continue
+            b_lens = q_lens[sl][m]
+            if has_rest and int(b_lens.max()) > topK:
+                continue  # scored branch: the dense-mask scan stands
+            idx, vals, lens = _exm_flat_fill(q_starts[sl][m], b_lens,
+                                             perm, N, topK)
+            rows = np.nonzero(m)[0] + qs
+            topK_indices[rows] = idx
+            topK_values[rows] = vals
+            topK_lens[rows] = lens
     return RetrievalResults(topK_values, topK_indices, topK_lens)

@@ -52,8 +52,9 @@ def test_pallas_kernel_matches_reference(rng):
 def _fused_case(rng, N, B, F, K, vocab, bc, variant="cmajor"):
     """Exact parity of the fused score+top-K kernels (interpret mode)
     against the XLA scan, including tie-breaking and padded pools.
-    Both grid variants must agree bit-for-bit: the chunk-major default
-    (pool streamed once per batch) and the r2 q-major layout."""
+    Both grid variants must agree bit-for-bit: the q-major production
+    default and the opt-in chunk-major layout (RAT_TPU_BM25_CMAJOR=1,
+    pool streamed once per batch; measured equal on-chip)."""
     from rat_tpu.ops.pallas.bm25_scan import (bm25_topk_fused_pallas_cmajor,
                                               bm25_topk_fused_pallas_qmajor)
     from rat_tpu.retrieval.bm25 import (_compute_idf_tables, _map_to_idf,

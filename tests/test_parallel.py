@@ -252,35 +252,43 @@ print('MATCH')
 
 @pytest.mark.slow
 def test_sharded_bm25_exact_match_matches_single_device():
-    """The dense exact-match mask inside the sharded scan must
-    reproduce the single-device engine's windowed exact-match path
-    (VERDICT r2 item 6: the sharded scan used to silently fall back to
-    one chip when exact_match_cols were configured)."""
+    """The sharded exact-match path must reproduce the single-device
+    engine EXACTLY (values, indices, lens) in BOTH reference branches:
+    the scored branch (a batch with a large matched group -> (bm25+1)
+    scores, score order) and the batch-level FLAT branch
+    (data_utils.py:906-918: largest group in the batch fits topK ->
+    values 1.0 in group order). Low-cardinality exm columns exercise
+    the scored branch; a high-cardinality column makes every group
+    small and forces the flat branch."""
     code = """
 import numpy as np
 from rat_tpu.retrieval import bm25_topk_retrieval
 from rat_tpu.retrieval.sharded import sharded_bm25_topk_retrieval
 from rat_tpu.parallel import make_mesh
 rng = np.random.RandomState(5)
-db = rng.randint(0, 4, (400, 5))
-q = rng.randint(0, 4, (48, 5))
-exm = [0, 4]
 mesh = make_mesh(n_devices=8, model_axis_size=1)
-r1 = bm25_topk_retrieval(db, q, exact_match_col_indices=exm,
-                         qry_batch_size=16, db_chunk_size=64, topK=5)
-r2 = sharded_bm25_topk_retrieval(db, q, mesh, exact_match_col_indices=exm,
-                                 qry_batch_size=16, db_chunk_size=16, topK=5)
-np.testing.assert_allclose(r1.values, r2.values, rtol=1e-5)
-np.testing.assert_array_equal(r1.lens, r2.lens)
-# every returned neighbor must exactly match the query on exm columns
-for i in range(len(q)):
-    for j, idx in enumerate(r2.indices[i]):
-        if idx >= 0:
-            assert (db[idx, exm] == q[i, exm]).all(), (i, j, idx)
-    # tie-tolerant index equality: identical except within tied scores
-    same = r1.indices[i] == r2.indices[i]
-    assert same.all() or np.allclose(np.sort(r1.values[i]),
-                                     np.sort(r2.values[i]))
+cases = [
+    ("scored", rng.randint(0, 4, (400, 5)), [0, 4]),       # groups ~25 >> K
+    ("flat", np.concatenate([rng.randint(0, 300, (400, 1)),  # groups ~1-2
+                             rng.randint(0, 4, (400, 4))], axis=1), [0]),
+    ("mixed", np.concatenate([rng.randint(0, 40, (400, 1)),  # groups ~10
+                              rng.randint(0, 4, (400, 4))], axis=1), [0]),
+]
+for name, db, exm in cases:
+    q = db[rng.randint(0, 400, 48)]  # matched queries in every branch
+    r1 = bm25_topk_retrieval(db, q, exact_match_col_indices=exm,
+                             qry_batch_size=16, db_chunk_size=64, topK=5)
+    r2 = sharded_bm25_topk_retrieval(db, q, mesh,
+                                     exact_match_col_indices=exm,
+                                     qry_batch_size=16, db_chunk_size=16,
+                                     topK=5)
+    np.testing.assert_array_equal(r1.values, r2.values, err_msg=name)
+    np.testing.assert_array_equal(r1.indices, r2.indices, err_msg=name)
+    np.testing.assert_array_equal(r1.lens, r2.lens, err_msg=name)
+    for i in range(len(q)):
+        for idx in r2.indices[i]:
+            if idx >= 0:
+                assert (db[idx, exm] == q[i, exm]).all(), (name, i, idx)
 print('MATCH')
 """
     r = _run_in_subprocess(code)
