@@ -215,7 +215,7 @@ def bm25_topk_fused_pallas_qmajor(qry, qry_idf, db_T_padded, db_valid_len,
     return outv, outi
 
 
-def _make_cmajor_kernel(block_q, block_c, K):
+def _make_cmajor_kernel(block_q, K):
     """Chunk-major fused kernel: grid = (chunks, query-blocks), with the
     query batch, IDF and BOTH top-K accumulators whole-batch-resident in
     VMEM (their block index is grid-invariant, so they are fetched once
@@ -269,7 +269,7 @@ def bm25_topk_fused_pallas_cmajor(qry, qry_idf, db_T_padded, db_valid_len,
     nvalid = jnp.asarray(db_valid_len, dtype=jnp.int32).reshape(1)
     whole = lambda j, i: (0, 0)  # noqa: E731 — grid-invariant residents
     outv, outi = pl.pallas_call(
-        _make_cmajor_kernel(block_q, block_c, topk),
+        _make_cmajor_kernel(block_q, topk),
         out_shape=(jax.ShapeDtypeStruct((B, topk), jnp.float32),
                    jax.ShapeDtypeStruct((B, topk), jnp.int32)),
         grid=grid,

@@ -183,3 +183,21 @@ def test_value_counts_matches_unique():
         k2, c2 = np.unique(col, return_counts=True)
         np.testing.assert_array_equal(k1, k2)
         np.testing.assert_array_equal(c1, c2)
+
+
+def test_dispatch_work_cap_preserves_results():
+    """max_scores_per_dispatch only re-chunks the mega-dispatches (a
+    remote-runtime watchdog guard); results must be identical."""
+    from rat_tpu.retrieval import bm25_topk_retrieval
+
+    rng = np.random.RandomState(9)
+    db = rng.randint(0, 8, (600, 4))
+    q = rng.randint(0, 8, (256, 4))
+    base = bm25_topk_retrieval(db, q, qry_batch_size=32, db_chunk_size=128,
+                               topK=5)
+    capped = bm25_topk_retrieval(db, q, qry_batch_size=32, db_chunk_size=128,
+                                 topK=5,
+                                 max_scores_per_dispatch=32 * 600 + 1)
+    np.testing.assert_array_equal(base.values, capped.values)
+    np.testing.assert_array_equal(base.indices, capped.indices)
+    np.testing.assert_array_equal(base.lens, capped.lens)
