@@ -657,3 +657,29 @@ def test_bm25_exact_match_matches_reference_v4():
     _retrieval_equivalent(np.asarray(ref.values), np.asarray(ref.indices),
                           ours.values, ours.indices,
                           _oracle_bm25(db, q, exm=exm))
+
+
+def test_bm25_exact_match_flat_branch_matches_reference_v4():
+    """The reference's BATCH-LEVEL branch (data_utils.py:906-918): when
+    every matched group in a query batch fits in topK, candidates come
+    back in GROUP order with value 1.0. A high-cardinality exact-match
+    column (groups of 1-3 rows) forces that branch for every batch."""
+    _import_reference()
+    from fuxictr.datasets.data_utils import BM25_topk_retrieval_v4
+
+    from rat_tpu.retrieval import bm25_topk_retrieval
+
+    rng = np.random.RandomState(12)
+    db = np.concatenate([rng.randint(0, 300, (400, 1)),
+                         rng.randint(0, 4, (400, 4))], axis=1)
+    q = db[rng.randint(0, 400, 48)]  # every query matches a group
+    exm = [0]
+    ref = BM25_topk_retrieval_v4(db.copy(), q.copy(),
+                                 exact_match_col_indices=exm,
+                                 qry_batch_size=16, db_chunk_size=64,
+                                 device="cpu", topK=5)
+    ours = bm25_topk_retrieval(db, q, exact_match_col_indices=exm,
+                               qry_batch_size=16, db_chunk_size=64, topK=5)
+    np.testing.assert_array_equal(np.asarray(ref.values), ours.values)
+    np.testing.assert_array_equal(np.asarray(ref.indices), ours.indices)
+    np.testing.assert_array_equal(np.asarray(ref.lens), ours.lens)
