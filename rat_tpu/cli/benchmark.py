@@ -111,27 +111,35 @@ def _mltag_setup(use_pallas=False, batch_size=4096):
     return _bench_setup("mltag", use_pallas, batch_size)
 
 
-def bench_train(use_pallas=False, steps=500, warmup=20, shape="mltag"):
+def bench_train(use_pallas=False, steps=512, warmup=64, shape="mltag",
+                group=64):
+    """Measures the production train path: scanned GROUPS of train
+    steps (Trainer._train_one_epoch_grouped), one dispatch per `group`
+    batches — per-dispatch link latency is amortized 64x, so a degraded
+    tunnel shows up as a few ms per window, not a collapsed number."""
     import jax
     import jax.numpy as jnp
     trainer, data, idx, B = _bench_setup(shape, use_pallas)
     rng = jax.random.PRNGKey(0)
-    for i in range(warmup):
-        trainer.state, loss = trainer._jit_train_step(
-            trainer.state, data, idx[i % 16], jnp.float32(B), rng)
-    float(jax.device_get(loss))
+    idx_group = jnp.stack([idx[i % len(idx)] for i in range(group)])
+    valid_group = jnp.full((group,), B, jnp.float32)
+    for _ in range(max(1, warmup // group)):
+        trainer.state, losses = trainer._jit_train_scan(
+            trainer.state, data, idx_group, valid_group, rng)
+    float(jax.device_get(losses[-1]))
     # best-of-3 windows to damp shared-chip interference. Window ends
     # are a hard device_get sync: remote-tunnel runtimes can resolve
     # block_until_ready before execution completes (measured), and a
-    # scalar fetch costs one ms-scale round trip per 500-step window.
+    # scalar fetch costs one ms-scale round trip per window.
     rates = []
     for _ in range(3):
         tic = time.perf_counter()
-        for i in range(steps):
-            trainer.state, loss = trainer._jit_train_step(
-                trainer.state, data, idx[i % 16], jnp.float32(B), rng)
-        float(jax.device_get(loss))
-        rates.append(steps * B / (time.perf_counter() - tic))
+        for _ in range(steps // group):
+            trainer.state, losses = trainer._jit_train_scan(
+                trainer.state, data, idx_group, valid_group, rng)
+        float(jax.device_get(losses[-1]))
+        rates.append((steps // group) * group * B /
+                     (time.perf_counter() - tic))
     eps = max(rates)
     name = "rat_m2_{}_train_throughput{}".format(
         shape, "_pallas" if use_pallas else "")

@@ -12,8 +12,6 @@ the dgl.batch equivalent).
 
 import numpy as np
 
-from ..retrieval.similarity import map_indices
-
 
 class PETGraphProcessor:
     @staticmethod
@@ -28,40 +26,50 @@ class PETGraphProcessor:
 
     @staticmethod
     def build_instance_graph(X_i, y_i):
-        """X_i: [F] or [(1+K), F]; y_i: scalar or [(1+K)].
-        Returns a dict graph: edge_src/edge_dst/label/original_node_ids/
-        is_target/is_instance/is_feature/num_nodes."""
-        y_i = np.array(y_i, copy=True)
-        if y_i.ndim == 0:
-            y_i = np.expand_dims(y_i, axis=0)
-        y_i[0] = 2  # [MASK] for the target instance
+        """One bipartite instance/feature graph per (target + neighbors)
+        group.
 
-        count_target_instances = 1
-        count_instances = y_i.shape[0]
-        feature_nodes = X_i.reshape(-1) + count_instances
-        instance_nodes = np.repeat(np.arange(count_instances), X_i.shape[-1])
+        Contract (reference PETGraphProcessor,
+        fuxictr/datasets/data_utils.py:150-186): rows of X_i are
+        instance nodes, distinct (globally-offset) feature values are
+        feature nodes, and every table cell contributes an undirected
+        instance<->feature edge stored as both directions. The target's
+        label is replaced by the [MASK] embedding id 2, and feature
+        nodes carry label 2 as well (unused downstream). Node
+        numbering is compact: the T instances take ids 0..T-1, the
+        sorted distinct feature values follow.
 
-        all_nodes = np.concatenate((instance_nodes, feature_nodes))
-        unique_node_ids = np.unique(all_nodes)
-        mapped_instance_nodes = map_indices(unique_node_ids, instance_nodes,
-                                            is_key_sorted=True)
-        mapped_feature_nodes = map_indices(unique_node_ids, feature_nodes,
-                                           is_key_sorted=True)
+        X_i: [F] or [(1+K), F]; y_i: scalar or [(1+K)]. Returns a dict
+        graph: edge_src/edge_dst/label/original_node_ids/is_target/
+        is_instance/is_feature/num_nodes.
+        """
+        X_i = np.asarray(X_i)
+        labels = np.atleast_1d(np.array(y_i, copy=True))
+        labels[0] = 2  # mask the target's own label
+        n_inst = labels.shape[0]
 
-        edge_src = np.concatenate((mapped_feature_nodes, mapped_instance_nodes))
-        edge_dst = np.concatenate((mapped_instance_nodes, mapped_feature_nodes))
-        num_nodes = len(unique_node_ids)
+        # compact renumbering in one pass: rank of each distinct value
+        # (+ the instance-block offset) is that cell's feature node id
+        feat_vals, inv = np.unique(X_i.reshape(-1), return_inverse=True)
+        feat_of_cell = (inv + n_inst).astype(np.int64)
+        inst_of_cell = np.repeat(np.arange(n_inst), X_i.shape[-1])
+        num_nodes = n_inst + len(feat_vals)
 
-        labels = np.concatenate((y_i, [2] * (num_nodes - len(y_i)))).astype(np.int64)
         node_ids = np.arange(num_nodes)
         return {
-            "edge_src": edge_src.astype(np.int32),
-            "edge_dst": edge_dst.astype(np.int32),
-            "label": labels,
-            "original_node_ids": (unique_node_ids - count_instances).astype(np.int64),
-            "is_target": node_ids < count_target_instances,
-            "is_instance": node_ids < count_instances,
-            "is_feature": node_ids >= count_instances,
+            # feature->instance edges first, then the reverse direction
+            "edge_src": np.concatenate((feat_of_cell, inst_of_cell)).astype(np.int32),
+            "edge_dst": np.concatenate((inst_of_cell, feat_of_cell)).astype(np.int32),
+            "label": np.concatenate(
+                [labels, np.full(num_nodes - n_inst, 2)]).astype(np.int64),
+            # instance slots hold offset-removed ids (negative by
+            # construction, never looked up); feature slots hold the
+            # raw global feature id for the embedding gather
+            "original_node_ids": np.concatenate(
+                [np.arange(n_inst) - n_inst, feat_vals]).astype(np.int64),
+            "is_target": node_ids < 1,
+            "is_instance": node_ids < n_inst,
+            "is_feature": node_ids >= n_inst,
             "num_nodes": num_nodes,
         }
 

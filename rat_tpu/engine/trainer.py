@@ -152,6 +152,7 @@ class Trainer(object):
                                 self._learning_rate, self._max_gradient_norm)
         self.state = None
         self._jit_train_step = None
+        self._jit_train_scan = None
         self._jit_eval_step = None
         self._jit_eval_scan = None
 
@@ -281,6 +282,14 @@ class Trainer(object):
                 # split arrays replicated, batch ids sharded over 'data'
                 in_shardings=(state_shard, rep, dp, rep, rep),
                 out_shardings=(state_shard, rep))
+            train_scan_jit = partial(
+                jax.jit, donate_argnums=(0,),
+                # idx group [G, B]: scan (group) axis replicated, batch
+                # axis sharded over 'data'; per-step valid counts tiny
+                in_shardings=(state_shard, rep,
+                              NamedSharding(self.mesh, P(None, "data")),
+                              rep, rep),
+                out_shardings=(state_shard, rep))
             # multi-process: predictions must come back replicated so
             # every host can device_get them (a data-sharded global
             # array is not fully addressable from one process)
@@ -295,11 +304,11 @@ class Trainer(object):
                                     out_shardings=(scan_out, scan_out))
         else:
             train_jit = partial(jax.jit, donate_argnums=(0,))
+            train_scan_jit = partial(jax.jit, donate_argnums=(0,))
             eval_jit = jax.jit
             eval_scan_jit = jax.jit
 
-        @train_jit
-        def train_step(state, data, idx, valid, rng):
+        def _train_core(state, data, idx, valid, rng):
             step_rng = jax.random.fold_in(rng, state.step)
 
             def loss_fn(params):
@@ -335,6 +344,23 @@ class Trainer(object):
                                  opt_state=opt_state,
                                  step=state.step + 1), loss
 
+        train_step = train_jit(_train_core)
+
+        @train_scan_jit
+        def train_scan(state, data, idx_group, valid_group, rng):
+            """A fixed-size GROUP of train steps in one dispatch:
+            idx_group [G, B], valid_group [G] -> (state after G steps,
+            [G] per-step losses). lax.scan carries TrainState so each
+            iteration is the exact per-step computation (dropout rngs
+            fold in state.step, BN stats and Adam moments chain) — the
+            host round-trip that otherwise dominates training on a
+            high-latency link happens once per group instead of once
+            per batch (mirrors the eval-side eval_scan below)."""
+            def body(st, xs):
+                idx, valid = xs
+                return _train_core(st, data, idx, valid, rng)
+            return jax.lax.scan(body, state, (idx_group, valid_group))
+
         def _eval_core(state, data, idx):
             variables = {"params": state.params}
             if has_bn:
@@ -361,6 +387,7 @@ class Trainer(object):
             return out
 
         self._jit_train_step = train_step
+        self._jit_train_scan = train_scan
         self._jit_eval_step = eval_step
         self._jit_eval_scan = eval_scan
 
@@ -441,15 +468,52 @@ class Trainer(object):
                     rng=self._shuffle_rng):
                 yield self._train_data, idx, valid
 
+    #: train batches folded into one scanned dispatch (the train-side
+    #: mirror of _EVAL_SCAN_BATCHES); config key ``train_scan_batches``
+    #: / env RAT_TPU_TRAIN_SCAN_BATCHES override, <=1 disables grouping
+    _TRAIN_SCAN_BATCHES = 64
+
+    def _train_group_size(self):
+        """Batches per scanned train dispatch. 0 = per-step only:
+        multi-process runs assemble per-host global index batches one
+        step at a time, and a profiling epoch needs per-step dispatch
+        boundaries for the trace window."""
+        if self.mesh is not None and self._multiprocess():
+            return 0
+        env = os.environ.get("RAT_TPU_TRAIN_SCAN_BATCHES")
+        g = int(env) if env is not None else \
+            int(self.params.get("train_scan_batches",
+                                self._TRAIN_SCAN_BATCHES))
+        return g if g > 1 else 0
+
     def train_one_epoch(self, train_gen, epoch):
-        losses = []
-        examples = 0
-        tic = time.time()
+        profiling = self._profile_dir is not None and epoch == 0
+        group = 0 if profiling else self._train_group_size()
+        if group:
+            return self._train_one_epoch_grouped(train_gen, group)
+        return self._train_one_epoch_stepwise(train_gen, epoch)
+
+    def _epoch_rng(self):
         rng, self._rng = jax.random.split(self._rng)
         if self.mesh is not None and self._multiprocess():
             # numpy -> implicitly replicated; a committed single-device
             # key array is illegal as a multi-host jit input
             rng = np.asarray(jax.device_get(rng))
+        return rng
+
+    def _epoch_loss(self, losses):
+        """losses: device scalars (per-step path) and/or [G] vectors
+        (scanned groups); epoch loss divides by the FULL batch count
+        even when early stop cuts the epoch short (the reference's
+        denominator, base_model.py:226-228)."""
+        return float(sum(np.sum(x) for x in jax.device_get(losses))) \
+            / self._batches_per_epoch
+
+    def _train_one_epoch_stepwise(self, train_gen, epoch):
+        losses = []
+        examples = 0
+        tic = time.time()
+        rng = self._epoch_rng()
         profiling = self._profile_dir is not None and epoch == 0
         for batch_index, (data, idx, valid) in enumerate(self._epoch_stream(train_gen)):
             if profiling and batch_index == 2:  # skip compile steps
@@ -472,8 +536,73 @@ class Trainer(object):
             jax.block_until_ready(losses[-1])
             jax.profiler.stop_trace()
         epoch_secs = time.time() - tic
-        epoch_loss = float(np.sum(jax.device_get(losses))) / self._batches_per_epoch
-        return epoch_loss, examples, epoch_secs
+        return self._epoch_loss(losses), examples, epoch_secs
+
+    def _train_one_epoch_grouped(self, train_gen, group):
+        """Per-step semantics at grouped dispatch cost. Batches are
+        buffered and flushed as ONE scanned dispatch per full group;
+        groups never span an eval boundary (so evaluate() always sees
+        the state exactly after the boundary batch, like per-step) or a
+        device-data change (block mode uploads one block at a time).
+        Remainder batches before a boundary go through the per-step
+        program — identical numerics, just latency-bound — so the only
+        compiled train programs are the step and the fixed-[G] scan."""
+        losses = []
+        examples = 0
+        tic = time.time()
+        rng = self._epoch_rng()
+        n_epoch = self._batches_per_epoch
+        every_x = self._every_x_batches
+        pend = []           # buffered (idx, valid)
+        cur_data = None     # device split the buffer gathers from
+        dispatched = 0      # batches already dispatched this epoch
+
+        def finalize():
+            """Dispatch the buffer, then run per-batch bookkeeping."""
+            nonlocal dispatched, pend, examples
+            if not pend:
+                return
+            if len(pend) == group:
+                idxs = np.stack([np.asarray(i) for i, _ in pend])
+                valids = np.asarray([v for _, v in pend], np.float32)
+                self.state, loss_vec = self._jit_train_scan(
+                    self.state, cur_data, idxs.astype(np.int32),
+                    valids, rng)
+                losses.append(loss_vec)
+            else:
+                for bidx, bvalid in pend:
+                    self.state, loss = self._jit_train_step(
+                        self.state, cur_data, self._globalize_idx(bidx),
+                        np.float32(bvalid), rng)
+                    losses.append(loss)
+            for _, bvalid in pend:
+                examples += bvalid
+            n = len(pend)
+            pend = []
+            base, dispatched = dispatched, dispatched + n
+            for i in range(n):
+                # boundary batches are group-final by construction, so
+                # evaluate() runs against the post-boundary state
+                self.on_batch_end(base + i)
+                if self._stop_training:
+                    break
+
+        for data, idx, valid in self._epoch_stream(train_gen):
+            if pend and data is not cur_data:
+                finalize()
+            if self._stop_training:
+                break
+            cur_data = data
+            pend.append((idx, valid))
+            b = dispatched + len(pend) - 1  # this batch's epoch index
+            if len(pend) == group or (b + 1) % every_x == 0 \
+                    or (b + 1) % n_epoch == 0:
+                finalize()
+                if self._stop_training:
+                    break
+        finalize()
+        epoch_secs = time.time() - tic
+        return self._epoch_loss(losses), examples, epoch_secs
 
     def on_batch_end(self, batch):
         self._total_batches += 1

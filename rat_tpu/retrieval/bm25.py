@@ -512,11 +512,15 @@ def _exm_group_windows(db_np_data, qry_np_data, exact_match_col_indices):
 def _exm_flat_fill(b_starts, b_lens, perm, n_pool, topk):
     """The reference's batch-level flat branch (data_utils.py:906-918):
     all candidates returned in GROUP order with value 1.0, truncated at
-    topk. Returns (indices [B,K] i64 with -1 pad, values [B,K] f64,
-    lens [B] i64)."""
+    topk. Truncation (which only bites when there are no rest columns,
+    so maxlen=topK applies) keeps the LAST topk of an oversized group —
+    the reference truncates via pad_sequences' default truncating='pre'
+    (data_utils.py:904-906, preprocess.py:181-182). Returns (indices
+    [B,K] i64 with -1 pad, values [B,K] f64, lens [B] i64)."""
     flat_offs = np.arange(topk, dtype=np.int64)
     take_len = np.minimum(b_lens, topk)
-    pos = np.minimum(b_starts[:, None] + flat_offs[None, :], n_pool - 1)
+    win_starts = b_starts + b_lens - take_len
+    pos = np.minimum(win_starts[:, None] + flat_offs[None, :], n_pool - 1)
     valid = flat_offs[None, :] < take_len[:, None]
     idx = np.where(valid, perm[pos], -1)
     return idx, valid.astype(np.float64), take_len.astype(np.int64)

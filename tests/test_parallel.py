@@ -273,6 +273,7 @@ cases = [
                              rng.randint(0, 4, (400, 4))], axis=1), [0]),
     ("mixed", np.concatenate([rng.randint(0, 40, (400, 1)),  # groups ~10
                               rng.randint(0, 4, (400, 4))], axis=1), [0]),
+    ("exm_only", rng.randint(0, 3, (400, 2)), [0, 1]),  # truncated flat
 ]
 for name, db, exm in cases:
     q = db[rng.randint(0, 400, 48)]  # matched queries in every branch
@@ -292,6 +293,94 @@ for name, db, exm in cases:
 print('MATCH')
 """
     r = _run_in_subprocess(code)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "MATCH" in r.stdout
+
+
+@pytest.mark.slow
+def test_mesh_full_state_resume_matches_uninterrupted(tmp_path):
+    """VERDICT r3 item 4: orbax full-state restore must be
+    sharding-aware. Train 2 epochs on the 8-device (4x2) mesh, save,
+    restore into a FRESH Trainer, continue 2 more — every restored leaf
+    keeps its mesh layout (row-sharded tables stay P('model', None))
+    and the final state matches an uninterrupted 4-epoch run."""
+    code = f"""
+import os, numpy as np, jax, jax.numpy as jnp
+import __graft_entry__ as g
+from rat_tpu.engine import Trainer
+from rat_tpu.parallel import make_mesh
+
+fm = g._tiny_feature_map()
+K, F, N, B = 3, 3, 256, 64
+
+class Gen:
+    def __init__(self, seed):
+        r = np.random.RandomState(seed)
+        X = r.randint(1, 32, (N, F))
+        y = (X[:, 0] >= 16).astype(np.float64)
+        self.darray = np.concatenate([X, y[:, None]], 1).astype(np.float64)
+        self.pool_darray = self.darray
+        self.retr_indices = r.randint(0, N, (N, K)).astype(np.int64)
+        self.retr_lens = np.full(N, K)
+        self.retrieval_augmented = True
+        self.batch_size = B
+        self.num_samples = N
+        self.num_batches = N // B
+        self.topk = K
+    def neighbor_gather_indices(self):
+        return self.retr_indices.astype(np.int32)
+    def epoch_index_batches(self, rng=None):
+        for s in range(0, N, B):
+            yield np.arange(s, s + B, dtype=np.int32), B
+    def __len__(self):
+        return self.num_batches
+
+params = dict(g._model_params(), reduce_lr_on_plateau=False,
+              patience=100, model_root={str(tmp_path)!r})
+mesh = make_mesh(n_devices=8, model_axis_size=2)
+
+def run(n_epochs, restore_from=None):
+    tr = Trainer(fm, params, mesh=mesh)
+    if restore_from is not None:
+        tr.init_state(np.zeros((2, 1 + K, F), np.int32),
+                      np.zeros((2, 1 + K), np.float32))
+        tr.restore_train_state(restore_from)
+    tr.fit(Gen(0), validation_data=Gen(1), epochs=n_epochs)
+    return tr
+
+trA = run(4)                                  # uninterrupted
+trB = run(2)                                  # first half
+ck = os.path.join({str(tmp_path)!r}, 'full_ck')
+trB.save_train_state(ck)
+trC = Trainer(fm, params, mesh=mesh)          # fresh restore target
+trC.init_state(np.zeros((2, 1 + K, F), np.int32),
+               np.zeros((2, 1 + K), np.float32))
+trC.restore_train_state(ck)
+
+# every leaf restored into the template's sharding, bit-identical
+lb = jax.tree_util.tree_leaves(trB.state)
+lc = jax.tree_util.tree_leaves(trC.state)
+assert len(lb) == len(lc)
+n_model_sharded = 0
+for a, c in zip(lb, lc):
+    assert str(a.sharding.spec) == str(c.sharding.spec), (a.sharding, c.sharding)
+    n_model_sharded += 'model' in str(c.sharding.spec)
+    np.testing.assert_array_equal(np.asarray(jax.device_get(a)),
+                                  np.asarray(jax.device_get(c)))
+assert n_model_sharded >= 1, 'no row-sharded leaf exercised the fix'
+
+# ...and the restored state drives the compiled SPMD steps onward to
+# the exact same place as the uninterrupted run
+trC.fit(Gen(0), validation_data=Gen(1), epochs=2)
+assert int(trC.state.step) == int(trA.state.step)
+for a, c in zip(jax.tree_util.tree_leaves(trA.state),
+                jax.tree_util.tree_leaves(trC.state)):
+    np.testing.assert_allclose(np.asarray(jax.device_get(a), np.float64),
+                               np.asarray(jax.device_get(c), np.float64),
+                               rtol=1e-6, atol=1e-8)
+print('MATCH')
+"""
+    r = _run_in_subprocess(code, timeout=900)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "MATCH" in r.stdout
 

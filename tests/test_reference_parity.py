@@ -659,6 +659,36 @@ def test_bm25_exact_match_matches_reference_v4():
                           _oracle_bm25(db, q, exm=exm))
 
 
+def test_bm25_exact_match_only_cols_truncation_matches_reference_v4():
+    """ADVICE r3 (medium): when used_cols consists ONLY of exact-match
+    columns, the reference truncates oversized groups with
+    pad_sequences' default truncating='pre' (maxlen=topK applies since
+    the rest-column array is empty, data_utils.py:904-906,
+    preprocess.py:181-182) — keeping the LAST topK candidates of each
+    group, i.e. the HIGHEST pool indices. Low-cardinality exm columns
+    make every matched group much larger than topK."""
+    _import_reference()
+    from fuxictr.datasets.data_utils import BM25_topk_retrieval_v4
+
+    from rat_tpu.retrieval import bm25_topk_retrieval
+
+    rng = np.random.RandomState(13)
+    db = rng.randint(0, 3, (400, 2))   # ~44-row groups >> topK
+    q = db[rng.randint(0, 400, 48)]
+    exm = [0, 1]                        # every used col is exact-match
+    ref = BM25_topk_retrieval_v4(db.copy(), q.copy(),
+                                 exact_match_col_indices=exm,
+                                 qry_batch_size=16, db_chunk_size=64,
+                                 device="cpu", topK=5)
+    ours = bm25_topk_retrieval(db, q, exact_match_col_indices=exm,
+                               qry_batch_size=16, db_chunk_size=64, topK=5)
+    assert int(np.asarray(ref.indices).max()) > 300, \
+        "truncation must keep tail-of-group (high) pool indices"
+    np.testing.assert_array_equal(np.asarray(ref.values), ours.values)
+    np.testing.assert_array_equal(np.asarray(ref.indices), ours.indices)
+    np.testing.assert_array_equal(np.asarray(ref.lens), ours.lens)
+
+
 def test_bm25_exact_match_flat_branch_matches_reference_v4():
     """The reference's BATCH-LEVEL branch (data_utils.py:906-918): when
     every matched group in a query batch fits in topK, candidates come

@@ -184,6 +184,62 @@ def test_shuffle_order_immune_to_global_np_random(tiny_feature_map,
     assert not np.array_equal(clean[0], clean[1])
 
 
+@pytest.mark.parametrize("every_x_epochs", [1, 0.5])
+def test_grouped_train_dispatch_matches_stepwise(tiny_feature_map,
+                                                 demo_params, tmp_path,
+                                                 monkeypatch,
+                                                 every_x_epochs):
+    """VERDICT r3 item 1: the scanned-group train dispatch is a pure
+    dispatch optimization — same per-step losses, same monitor events
+    at the same cadence, same final TrainState as the per-step path.
+    n=300/B=128 gives 3 batches/epoch, so group=2 exercises a full scan
+    group, a per-step remainder at the eval boundary, and the padded
+    final partial batch inside a scan."""
+    import jax
+
+    orig_ckpt = Trainer.checkpoint_and_earlystop
+    orig_epoch = Trainer.train_one_epoch
+
+    def run(group):
+        events, epoch_losses = [], []
+
+        def spy(self, epoch, logs, min_delta=1e-6):
+            events.append((epoch, dict(logs)))
+            return orig_ckpt(self, epoch, logs, min_delta)
+
+        def spy_epoch(self, gen, epoch):
+            out = orig_epoch(self, gen, epoch)
+            epoch_losses.append(out[0])
+            return out
+
+        with monkeypatch.context() as m:
+            m.setenv("RAT_TPU_TRAIN_SCAN_BATCHES", str(group))
+            m.setattr(Trainer, "checkpoint_and_earlystop", spy)
+            m.setattr(Trainer, "train_one_epoch", spy_epoch)
+            train = FakeGen(n=300, seed=3, batch_size=128)
+            valid = FakeGen(n=128, seed=4, batch_size=128, shuffle=False)
+            tr = _trainer(tiny_feature_map, demo_params, tmp_path,
+                          patience=100, every_x_epochs=every_x_epochs)
+            tr.fit(train, validation_data=valid, epochs=3)
+        params = jax.device_get(tr.state.params)
+        step = int(tr.state.step)
+        return events, epoch_losses, params, step
+
+    ev_s, loss_s, params_s, step_s = run(group=0)      # per-step
+    ev_g, loss_g, params_g, step_g = run(group=2)      # scanned groups
+    assert step_s == step_g
+    assert [e for e, _ in ev_s] == [e for e, _ in ev_g]
+    for (_, a), (_, b) in zip(ev_s, ev_g):
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k] == pytest.approx(b[k], rel=1e-6, abs=1e-9), k
+    np.testing.assert_allclose(loss_s, loss_g, rtol=1e-6, atol=1e-9)
+    flat_s = jax.tree_util.tree_leaves(params_s)
+    flat_g = jax.tree_util.tree_leaves(params_g)
+    for a, b in zip(flat_s, flat_g):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
+
+
 def test_eval_collect_bounds_inflight_groups(monkeypatch):
     """_eval_collect must never hold more than the configured window of
     dispatched groups before forcing a fetch (ADVICE r2: unbounded
