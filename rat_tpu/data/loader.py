@@ -27,35 +27,146 @@ import re
 import numpy as np
 
 from ..retrieval.bm25 import bm25_topk_retrieval
-from .io import load_hdf5, save_hdf5
+from .io import load_hdf5, save_hdf5_atomic
 
 # pools below this size fit one chip's scan comfortably; above it the
 # precompute shards the pool over the mesh 'data' axis (SURVEY §5
 # long-context row: Tmall's pool is ~20M rows)
 _SHARDED_POOL_MIN_ROWS = 2_000_000
 
+# queries per checkpointed slice of a resumable precompute (VERDICT r3
+# item 3): ~9 min of scan at Tmall's measured ~3.8k q/s — a crash costs
+# one slice, not the 3-hour scan the reference's split-level cache
+# granularity (data_generator.py:213-215) would lose
+_RESUME_SLICE_ROWS = 2_000_000
+
 # driver-side knobs that are not engine kwargs
-_DRIVER_KEYS = ("mesh", "sharded_pool_min_rows")
+_DRIVER_KEYS = ("mesh", "sharded_pool_min_rows", "resume_base",
+                "resume_slice_rows")
 
 
-def _retrieve(db_np_data, qry_np_data, retrieval_configs):
+class _PartialRetrievalStore:
+    """Crash-resumable store for a long retrieval precompute: one
+    preallocated h5 file holding indices/values/lens plus a monotone
+    ``done_rows`` cursor. A slice's arrays are flushed BEFORE the
+    cursor advances, so a crash at any point costs at most the
+    in-flight slice (the cursor then understates and that slice is
+    idempotently re-scanned). A fingerprint attribute invalidates
+    partials left by a different configuration."""
+
+    def __init__(self, path, n_rows, topk, fingerprint):
+        import h5py
+        self.path = path
+        fresh = not os.path.exists(path)
+        self.hf = h5py.File(path, "a")
+        if not fresh and self.hf.attrs.get("fingerprint") != fingerprint:
+            logging.info("Discarding stale retrieval partial %s", path)
+            self.hf.close()
+            os.remove(path)
+            fresh = True
+            self.hf = h5py.File(path, "a")
+        if fresh:
+            self.hf.create_dataset("indices", shape=(n_rows, topk),
+                                   dtype="i8", fillvalue=-1)
+            self.hf.create_dataset("values", shape=(n_rows, topk), dtype="f8")
+            self.hf.create_dataset("lens", shape=(n_rows,), dtype="i8")
+            self.hf.create_dataset("done_rows", shape=(), dtype="i8")
+            self.hf.attrs["fingerprint"] = fingerprint
+            self.hf.flush()
+
+    @property
+    def done_rows(self):
+        return int(self.hf["done_rows"][()])
+
+    def append(self, lo, res):
+        hi = lo + len(res.lens)
+        self.hf["indices"][lo:hi] = res.indices
+        self.hf["values"][lo:hi] = res.values
+        self.hf["lens"][lo:hi] = res.lens
+        self.hf.flush()                  # data durable before the cursor
+        self.hf["done_rows"][()] = hi
+        self.hf.flush()
+
+    def results(self):
+        from ..retrieval.bm25 import RetrievalResults
+        return RetrievalResults(self.hf["values"][()],
+                                self.hf["indices"][()],
+                                self.hf["lens"][()])
+
+    def close(self):
+        self.hf.close()
+
+
+def _cleanup_partials(resume_base):
+    for p in glob.glob(resume_base + ".*.partial.h5"):
+        os.remove(p)
+
+
+def _retrieve(db_np_data, qry_np_data, retrieval_configs, resume_tag=None):
     """Engine dispatch: the mesh-sharded pool scan when a mesh is
     configured and the pool is large (identical results either way —
-    tested), else the single-device engine."""
+    tested), else the single-device engine.
+
+    With ``resume_tag`` and a ``resume_base`` path in the configs,
+    query sets larger than ``resume_slice_rows`` run as checkpointed
+    slices through a _PartialRetrievalStore: a multi-hour scan killed
+    mid-way resumes from its last completed slice instead of from zero.
+    Per-pool IDF tables are computed once and reused across slices."""
     rc = retrieval_configs
     engine_kwargs = {k: v for k, v in rc.items() if k not in _DRIVER_KEYS}
     mesh = rc.get("mesh")
     min_rows = rc.get("sharded_pool_min_rows", _SHARDED_POOL_MIN_ROWS)
-    if mesh is not None and len(db_np_data) >= min_rows:
-        from ..retrieval.sharded import sharded_bm25_topk_retrieval
-        logging.info("Sharded BM25 pool scan over mesh {} ({} rows{})".format(
-            dict(mesh.shape), len(db_np_data),
-            ", dense exact-match mask"
-            if rc.get("exact_match_col_indices") else ""))
-        return sharded_bm25_topk_retrieval(db_np_data, qry_np_data, mesh,
-                                           **engine_kwargs)
-    return bm25_topk_retrieval(db_np_data=db_np_data,
-                               qry_np_data=qry_np_data, **engine_kwargs)
+    sharded = mesh is not None and len(db_np_data) >= min_rows
+
+    def run(qry, **extra):
+        if sharded:
+            from ..retrieval.sharded import sharded_bm25_topk_retrieval
+            logging.info("Sharded BM25 pool scan over mesh {} ({} rows{})"
+                         .format(dict(mesh.shape), len(db_np_data),
+                                 ", dense exact-match mask"
+                                 if rc.get("exact_match_col_indices") else ""))
+            return sharded_bm25_topk_retrieval(db_np_data, qry, mesh,
+                                               **engine_kwargs, **extra)
+        return bm25_topk_retrieval(db_np_data=db_np_data,
+                                   qry_np_data=qry, **engine_kwargs, **extra)
+
+    Q = len(qry_np_data)
+    resume_base = rc.get("resume_base")
+    slice_rows = int(rc.get("resume_slice_rows", _RESUME_SLICE_ROWS))
+    if resume_base is None or resume_tag is None or Q <= slice_rows:
+        return run(qry_np_data)
+
+    topk = engine_kwargs.get("topK", 10)
+    ncols = qry_np_data.shape[1] if qry_np_data.ndim > 1 else 0
+    fingerprint = "{}:{}:{}:{}:{}".format(
+        Q, len(db_np_data), topk, ncols, slice_rows)
+    store = _PartialRetrievalStore(
+        "{}.{}.partial.h5".format(resume_base, resume_tag),
+        Q, topk, fingerprint)
+    try:
+        done = store.done_rows
+        if done:
+            logging.info("Resuming retrieval '%s' at %d/%d queries",
+                         resume_tag, done, Q)
+        extra = {}
+        if not engine_kwargs.get("exact_match_col_indices") \
+                and engine_kwargs.get("idf_tables") is None:
+            # pool statistics are slice-invariant: one linear pass here
+            # instead of one per slice
+            from ..retrieval.bm25 import _compute_idf_tables
+            weighting = engine_kwargs.get("idf_weighting") or (
+                "robertson" if engine_kwargs.get("generation", 4) == 1
+                else "lucene")
+            extra["idf_tables"] = _compute_idf_tables(
+                np.ascontiguousarray(db_np_data, dtype=np.int64), weighting)
+        for lo in range(done, Q, slice_rows):
+            hi = min(lo + slice_rows, Q)
+            store.append(lo, run(qry_np_data[lo:hi], **extra))
+        # the partial survives until the caller's final cache write, so
+        # a crash in between still resumes for free
+        return store.results()
+    finally:
+        store.close()
 
 
 def _fold_self_retrieval(data_array, retrieval_configs):
@@ -83,10 +194,11 @@ def _fold_self_retrieval(data_array, retrieval_configs):
                 [retrieval_db_labels[: fi * fold_size],
                  retrieval_db_labels[(fi + 1) * fold_size:]], axis=0)
             parts_i, parts_v, parts_l = [], [], []
-            for sub_indices in (np.nonzero(fold_db_labels)[0],
-                                np.nonzero(1 - fold_db_labels)[0]):
+            for sub, sub_indices in (("pos", np.nonzero(fold_db_labels)[0]),
+                                     ("neg", np.nonzero(1 - fold_db_labels)[0])):
                 res = _retrieve(fold_db_data[sub_indices], fold_qry_data,
-                                retrieval_configs)
+                                retrieval_configs,
+                                resume_tag="fold{}.{}".format(fi, sub))
                 parts_i.append(fold_db_indices[sub_indices[res.indices]])
                 parts_v.append(res.values)
                 parts_l.append(res.lens)
@@ -94,7 +206,8 @@ def _fold_self_retrieval(data_array, retrieval_configs):
             retrieved_values.append(np.concatenate(parts_v, axis=-1))   # Bx(2K)
             retrieved_lens.append(np.stack(parts_l, axis=-1))           # Bx2
         else:
-            res = _retrieve(fold_db_data, fold_qry_data, retrieval_configs)
+            res = _retrieve(fold_db_data, fold_qry_data, retrieval_configs,
+                            resume_tag="fold{}".format(fi))
             retrieved_indices.append(fold_db_indices[res.indices])
             retrieved_values.append(res.values)
             retrieved_lens.append(res.lens)
@@ -112,16 +225,17 @@ def _pool_retrieval(data_array, db_array, retrieval_configs):
     if retrieval_configs.get("label_wise", False):
         db_labels = db_array[:, -1].astype(int)
         parts_i, parts_v, parts_l = [], [], []
-        for sub_indices in (np.nonzero(db_labels)[0], np.nonzero(1 - db_labels)[0]):
+        for sub, sub_indices in (("pos", np.nonzero(db_labels)[0]),
+                                 ("neg", np.nonzero(1 - db_labels)[0])):
             res = _retrieve(db_data[sub_indices], qry_data,
-                            retrieval_configs)
+                            retrieval_configs, resume_tag="pool." + sub)
             parts_i.append(sub_indices[res.indices])
             parts_v.append(res.values)
             parts_l.append(res.lens)
         return (np.concatenate(parts_i, axis=-1),
                 np.concatenate(parts_v, axis=-1),
                 np.stack(parts_l, axis=-1))
-    res = _retrieve(db_data, qry_data, retrieval_configs)
+    res = _retrieve(db_data, qry_data, retrieval_configs, resume_tag="pool")
     return res.indices, res.values, res.lens
 
 
@@ -176,15 +290,20 @@ class DataGenerator(object):
                 retrieved_values = load_hdf5(retrieval_save_path, "values")
                 retrieved_lens = load_hdf5(retrieval_save_path, "lens")
             else:
+                # resume_base switches long scans to checkpointed slices
+                # keyed off the final cache path (VERDICT r3 item 3)
+                rc = dict(retrieval_configs, resume_base=retrieval_save_path)
                 if retrieval_pool_fname == "self":
                     retrieved_indices, retrieved_values, retrieved_lens = \
-                        _fold_self_retrieval(data_array, retrieval_configs)
+                        _fold_self_retrieval(data_array, rc)
                 else:
                     retrieved_indices, retrieved_values, retrieved_lens = \
-                        _pool_retrieval(data_array, db_array, retrieval_configs)
-                save_hdf5(retrieved_indices, retrieval_save_path, "indices")
-                save_hdf5(retrieved_values, retrieval_save_path, "values")
-                save_hdf5(retrieved_lens, retrieval_save_path, "lens")
+                        _pool_retrieval(data_array, db_array, rc)
+                save_hdf5_atomic({"indices": retrieved_indices,
+                                  "values": retrieved_values,
+                                  "lens": retrieved_lens},
+                                 retrieval_save_path)
+                _cleanup_partials(retrieval_save_path)
             if retrieval_augmented:
                 self.retrieval_augmented = True
                 self.pool_darray = data_array if retrieval_pool_fname == "self" \

@@ -148,14 +148,17 @@ def sharded_bm25_topk_retrieval(db_np_data, qry_np_data, mesh,
                                 qry_batch_size=None, db_chunk_size=None,
                                 topK=10, axis="data", mega_batches=128,
                                 generation=4, idf_weighting=None,
-                                **kwargs):
+                                idf_tables=None, **kwargs):
     """Drop-in variant of bm25_topk_retrieval with the pool scan sharded
     over ``mesh`` axis ``axis``. ``generation`` / ``idf_weighting``
     follow bm25_topk_retrieval (generation 1 = Robertson IDF with
-    negative-score semantics). The exact-match prefilter
-    (``exact_match_col_indices``) runs as a dense candidate mask inside
-    each shard's scan — identical output to the single-device windowed
-    path, tested on the 8-device CPU mesh."""
+    negative-score semantics); ``idf_tables`` overrides the per-column
+    pool statistics like the single-device engine's (used by the
+    resumable slice driver so a 20M-row pool is counted once, not once
+    per slice). The exact-match prefilter (``exact_match_col_indices``)
+    runs as a dense candidate mask inside each shard's scan — identical
+    output to the single-device windowed path, tested on the 8-device
+    CPU mesh."""
     assert generation in (1, 2, 3, 4), generation
     if idf_weighting is None:
         idf_weighting = "robertson" if generation == 1 else "lucene"
@@ -164,6 +167,8 @@ def sharded_bm25_topk_retrieval(db_np_data, qry_np_data, mesh,
     if exm:
         assert not robertson, \
             "exact-match requires the lucene IDF (generations 2-4)"
+        assert idf_tables is None, \
+            "idf_tables override is not supported with exact_match_cols"
         exm = tuple(int(c) for c in exm)
     db_np_data = np.ascontiguousarray(db_np_data, dtype=np.int64)
     qry_np_data = np.ascontiguousarray(qry_np_data, dtype=np.int64)
@@ -175,7 +180,7 @@ def sharded_bm25_topk_retrieval(db_np_data, qry_np_data, mesh,
                           if c not in exm)
         idf_tables = _compute_idf_tables(db_np_data[:, list(rest_cols)],
                                          idf_weighting)
-    else:
+    elif idf_tables is None:
         idf_tables = _compute_idf_tables(db_np_data, idf_weighting)
     idf_pack = _pack_idf_dense(idf_tables)
     dense_idf = idf_pack is not None

@@ -128,8 +128,12 @@ rc = dict(split_type='4-fold', used_col_indices=[0, 1, 2], topK=5,
           qry_batch_size=64, db_chunk_size=100, pre_retrieval=True)
 results = {{}}
 for tag, extra in (('single', {{}}),
+                   # resume_slice_rows forces the checkpointed slice
+                   # driver (3 slices/fold) through the sharded engine,
+                   # covering its idf_tables pass-through
                    ('sharded', {{'mesh': make_mesh(8, 1),
-                                 'sharded_pool_min_rows': 1}})):
+                                 'sharded_pool_min_rows': 1,
+                                 'resume_slice_rows': 50}})):
     d = os.path.join(base, tag)
     os.makedirs(d)
     path = os.path.join(d, 'train.h5')

@@ -163,6 +163,53 @@ def _transplant_rat_m2(ref, params, spec, lr_spec, depth):
             lr_tables[f.name].weight = _t(lr_packed[off:off + vocab])
 
 
+def _transplant_rat_m3_encoder(ref, p):
+    """flax CrossIntraEncoderPA params -> reference RAT_m3 encoder
+    (shared W_q, per-branch K/V, halved heads, RAT_m3.py:181-236)."""
+    for i, blk in enumerate(ref.encoder.encoder):
+        bp = p["encoder"][f"CrossIntraEncoderBlockPA_{i}"]
+        blk.W_q.weight = _t(np.asarray(bp["W_q"]).T)
+        blk.W_k_s.weight = _t(
+            np.asarray(bp["intra_attention"]["W_k"]["kernel"]).T)
+        blk.W_v_s.weight = _t(
+            np.asarray(bp["intra_attention"]["W_v"]["kernel"]).T)
+        blk.W_k_t.weight = _t(
+            np.asarray(bp["cross_attention"]["W_k"]["kernel"]).T)
+        blk.W_v_t.weight = _t(
+            np.asarray(bp["cross_attention"]["W_v"]["kernel"]).T)
+        for attr in ("intra_attention", "cross_attention"):
+            ap = bp[attr]
+            tmod = getattr(blk, attr)
+            tmod.norm.weight = _t(ap["LayerNorm_0"]["scale"])
+            tmod.norm.bias = _t(ap["LayerNorm_0"]["bias"])
+            tmod.fn.to_out[0].weight = _t(
+                np.asarray(ap["to_out"]["kernel"]).T)
+            tmod.fn.to_out[0].bias = _t(ap["to_out"]["bias"])
+        blk.mlp.net[0].weight = _t(
+            np.asarray(bp["mlp"]["Dense_0"]["kernel"]).T)
+        blk.mlp.net[0].bias = _t(bp["mlp"]["Dense_0"]["bias"])
+        blk.mlp.net[3].weight = _t(
+            np.asarray(bp["mlp"]["Dense_1"]["kernel"]).T)
+        blk.mlp.net[3].bias = _t(bp["mlp"]["Dense_1"]["bias"])
+
+
+def _transplant_variant(ref, variant, p, spec, lr_spec):
+    """Head + the variant's encoder: one entry point for every
+    ablation head (m0=JM, m1=CE, m3=PA; m2 has _transplant_rat_m2)."""
+    _transplant_head(ref, p, spec, lr_spec)
+    if variant == "RAT_m0":
+        _transplant_transformer(ref.encoder, p["JointEncoder_0"]["encoder"])
+    elif variant == "RAT_m1":
+        cp = p["CascadeEncoder_0"]
+        _transplant_transformer(ref.intra_transformer,
+                                cp["intra_transformer"])
+        _transplant_transformer(ref.cross_transformer,
+                                cp["cross_transformer"])
+    else:
+        assert variant == "RAT_m3", variant
+        _transplant_rat_m3_encoder(ref, p)
+
+
 def test_rat_m2_forward_matches_reference():
     _import_reference()
     import jax
@@ -380,47 +427,156 @@ def test_variant_forward_matches_reference(variant):
     ref.eval()
 
     p = variables["params"]
-    _transplant_head(ref, p, model.embedding_spec, model.lr_spec)
-    if variant == "RAT_m0":
-        _transplant_transformer(ref.encoder, p["JointEncoder_0"]["encoder"])
-    elif variant == "RAT_m1":
-        cp = p["CascadeEncoder_0"]
-        _transplant_transformer(ref.intra_transformer,
-                                cp["intra_transformer"])
-        _transplant_transformer(ref.cross_transformer,
-                                cp["cross_transformer"])
-    else:  # RAT_m3: shared W_q, per-branch K/V, halved heads
-        for i, blk in enumerate(ref.encoder.encoder):
-            bp = p["encoder"][f"CrossIntraEncoderBlockPA_{i}"]
-            blk.W_q.weight = _t(np.asarray(bp["W_q"]).T)
-            blk.W_k_s.weight = _t(
-                np.asarray(bp["intra_attention"]["W_k"]["kernel"]).T)
-            blk.W_v_s.weight = _t(
-                np.asarray(bp["intra_attention"]["W_v"]["kernel"]).T)
-            blk.W_k_t.weight = _t(
-                np.asarray(bp["cross_attention"]["W_k"]["kernel"]).T)
-            blk.W_v_t.weight = _t(
-                np.asarray(bp["cross_attention"]["W_v"]["kernel"]).T)
-            for attr in ("intra_attention", "cross_attention"):
-                ap = bp[attr]
-                tmod = getattr(blk, attr)
-                tmod.norm.weight = _t(ap["LayerNorm_0"]["scale"])
-                tmod.norm.bias = _t(ap["LayerNorm_0"]["bias"])
-                tmod.fn.to_out[0].weight = _t(
-                    np.asarray(ap["to_out"]["kernel"]).T)
-                tmod.fn.to_out[0].bias = _t(ap["to_out"]["bias"])
-            blk.mlp.net[0].weight = _t(
-                np.asarray(bp["mlp"]["Dense_0"]["kernel"]).T)
-            blk.mlp.net[0].bias = _t(bp["mlp"]["Dense_0"]["bias"])
-            blk.mlp.net[3].weight = _t(
-                np.asarray(bp["mlp"]["Dense_1"]["kernel"]).T)
-            blk.mlp.net[3].bias = _t(bp["mlp"]["Dense_1"]["bias"])
+    _transplant_variant(ref, variant, p, model.embedding_spec, model.lr_spec)
 
     with torch.no_grad():
         out = ref([torch.from_numpy(X), torch.from_numpy(y),
                    torch.zeros(B, K), torch.zeros(B, dtype=torch.int64)])
     theirs = out["y_pred"].numpy()[:, 0]
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["RAT_m0", "RAT_m1", "RAT_m3"])
+def test_variant_gradients_match_reference(variant):
+    """VERDICT r3 item 6: leaf-for-leaf BCE-gradient parity for the
+    ablation heads, like m2's. m3 is the divergence-prone one (shared
+    W_q, halved heads, averaged branches, RAT_m3.py:181,205-236): a
+    transposed-branch bug there passes a forward test with symmetric
+    inputs but shows in the per-branch K/V gradients checked here."""
+    _import_reference()
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from fuxictr.pytorch import models as ref_models
+
+    from rat_tpu.features import FeatureMap
+    from rat_tpu.models import build_model
+
+    vocabs = {"user_id": 23, "item_id": 17, "tag_id": 11}
+    specs = {
+        name: {"source": "", "type": "categorical", "vocab_size": v,
+               "index": i}
+        for i, (name, v) in enumerate(vocabs.items())}
+    fm = FeatureMap("parity_vg", ".")
+    fm.feature_specs.update(specs)
+    fm.num_fields = 3
+    fm.num_features = sum(vocabs.values())
+    fm.input_length = 3
+
+    K, depth = 4, 2
+    model_params = {
+        "model": variant, "embedding_dim": 10,
+        "dnn_hidden_units": [32, 16], "dnn_activations": "relu",
+        "num_heads": 2, "dim_head": 10, "depth": depth, "scale_dim": 4,
+        "dropout": 0.0, "emb_dropout": 0.0, "net_dropout": 0.0,
+        "batch_norm": False, "use_wide": True,
+    }
+    model = build_model(fm, model_params)
+    rng = np.random.RandomState(31)
+    B = 8
+    X = rng.randint(0, 11, (B, 1 + K, 3)).astype(np.int64)
+    y = rng.randint(0, 2, (B, 1 + K)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(13), jnp.asarray(X),
+                           jnp.asarray(y), train=False)
+
+    def loss_fn(params):
+        out = model.apply({"params": params}, jnp.asarray(X),
+                          jnp.asarray(y), train=False)
+        p = jnp.clip(out["y_pred"][:, 0], 1e-7, 1 - 1e-7)
+        t = out["y_true"][:, 0]
+        return -jnp.mean(t * jnp.log(p) + (1 - t) * jnp.log1p(-p))
+
+    g = jax.grad(loss_fn)(variables["params"])
+
+    ref_fm = _ref_feature_map(specs, num_fields=3)
+    ref = getattr(ref_models, variant)(
+        ref_fm, gpu=-1, embedding_dim=10, dnn_hidden_units=[32, 16],
+        dnn_activations="ReLU", num_heads=2, dim_head=10, depth=depth,
+        scale_dim=4, dropout=0.0, emb_dropout=0.0, net_dropout=0.0,
+        batch_norm=False, use_wide=True, retrieval_augmented=True,
+        retrieval_configs={"topK": K, "label_wise": False},
+        optimizer="adam", loss="binary_crossentropy",
+        model_root="/tmp/parity_exps/", metrics=["AUC"], verbose=0,
+        task="binary_classification")
+    ref.train()
+    _transplant_variant(ref, variant, variables["params"],
+                        model.embedding_spec, model.lr_spec)
+    out = ref([torch.from_numpy(X), torch.from_numpy(y),
+               torch.zeros(B, K), torch.zeros(B, dtype=torch.int64)])
+    pred = torch.clamp(out["y_pred"][:, 0], 1e-7, 1 - 1e-7)
+    t = out["y_true"][:, 0]
+    loss = -(t * torch.log(pred) + (1 - t) * torch.log1p(-pred)).mean()
+    loss.backward()
+
+    p = variables["params"]
+    pairs = [
+        ("label table", g["label_embedding_layer"]["table"],
+         ref.label_embedding_layer.weight.grad),
+        ("fc kernel", np.asarray(g["fc"]["kernel"]).T, ref.fc.weight.grad),
+        ("dnn first kernel", np.asarray(g["dnn"]["Dense_0"]["kernel"]).T,
+         ref.dnn.dnn[0].weight.grad),
+    ]
+    if variant == "RAT_m0":
+        jp = g["JointEncoder_0"]["encoder"]
+        pairs += [
+            ("joint attn0 qkv",
+             np.asarray(jp["attn_0"]["Attention_0"]["to_qkv"]["kernel"]).T,
+             ref.encoder.layers[0][0].fn.to_qkv.weight.grad),
+            ("joint ff1 dense0",
+             np.asarray(jp["ff_1"]["FeedForward_0"]["Dense_0"]["kernel"]).T,
+             ref.encoder.layers[1][1].fn.net[0].weight.grad),
+        ]
+    elif variant == "RAT_m1":
+        cp = g["CascadeEncoder_0"]
+        pairs += [
+            ("intra attn0 qkv",
+             np.asarray(cp["intra_transformer"]["attn_0"]["Attention_0"]
+                        ["to_qkv"]["kernel"]).T,
+             ref.intra_transformer.layers[0][0].fn.to_qkv.weight.grad),
+            ("cross attn1 qkv",
+             np.asarray(cp["cross_transformer"]["attn_1"]["Attention_0"]
+                        ["to_qkv"]["kernel"]).T,
+             ref.cross_transformer.layers[1][0].fn.to_qkv.weight.grad),
+            ("cross ff0 dense0",
+             np.asarray(cp["cross_transformer"]["ff_0"]["FeedForward_0"]
+                        ["Dense_0"]["kernel"]).T,
+             ref.cross_transformer.layers[0][1].fn.net[0].weight.grad),
+        ]
+    else:  # RAT_m3: the shared query and each branch's K/V separately
+        bp = g["encoder"]["CrossIntraEncoderBlockPA_0"]
+        blk = ref.encoder.encoder[0]
+        pairs += [
+            ("block0 shared W_q", np.asarray(bp["W_q"]).T,
+             blk.W_q.weight.grad),
+            ("block0 intra W_k",
+             np.asarray(bp["intra_attention"]["W_k"]["kernel"]).T,
+             blk.W_k_s.weight.grad),
+            ("block0 intra W_v",
+             np.asarray(bp["intra_attention"]["W_v"]["kernel"]).T,
+             blk.W_v_s.weight.grad),
+            ("block0 cross W_k",
+             np.asarray(bp["cross_attention"]["W_k"]["kernel"]).T,
+             blk.W_k_t.weight.grad),
+            ("block0 cross W_v",
+             np.asarray(bp["cross_attention"]["W_v"]["kernel"]).T,
+             blk.W_v_t.weight.grad),
+            ("block1 mlp kernel",
+             np.asarray(g["encoder"]["CrossIntraEncoderBlockPA_1"]
+                        ["mlp"]["Dense_0"]["kernel"]).T,
+             ref.encoder.encoder[1].mlp.net[0].weight.grad),
+        ]
+    for name, ours_g, theirs_g in pairs:
+        np.testing.assert_allclose(np.asarray(ours_g), theirs_g.numpy(),
+                                   atol=2e-5, rtol=1e-4, err_msg=name)
+    # packed-table gradient vs the per-field reference tables
+    packed_g = np.asarray(g["embedding_layer"]["table"])
+    ref_tables = ref.embedding_layer.embedding_layer.embedding_layer
+    for f, off in zip(model.embedding_spec.fields,
+                      model.embedding_spec.token_offsets):
+        theirs_g = ref_tables[f.name].weight.grad.numpy()
+        np.testing.assert_allclose(packed_g[off: off + len(theirs_g)],
+                                   theirs_g, atol=2e-5, rtol=1e-4,
+                                   err_msg=f.name)
 
 
 def test_feature_embedding_v2_matches_reference():

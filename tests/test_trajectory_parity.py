@@ -23,7 +23,9 @@ import numpy as np
 import pytest
 
 from tests.test_reference_parity import (REFERENCE, _import_reference,
-                                         _ref_feature_map, _transplant_rat_m2)
+                                         _ref_feature_map,
+                                         _transplant_rat_m2,
+                                         _transplant_variant)
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(REFERENCE), reason="reference tree not present")
@@ -112,13 +114,14 @@ def _ref_generators(train_h5, valid_h5, ref_fm):
     return train_gen, valid_gen
 
 
-def _fit_ours(tmp_path, train_gen, valid_gen, fm, batch_norm):
+def _fit_ours(tmp_path, train_gen, valid_gen, fm, batch_norm,
+              variant="RAT_m2"):
     """Train rat_tpu; return (params_used_for_init, epoch_losses,
     eval_logs, final_lr)."""
     from rat_tpu.engine import Trainer
     from rat_tpu.engine.optim import get_learning_rate
 
-    params = dict(model="RAT_m2", model_id="RAT_m2_traj",
+    params = dict(model=variant, model_id=variant + "_traj",
                   model_root=str(tmp_path / "exps"),
                   batch_size=BATCH, learning_rate=LR, epochs=EPOCHS,
                   embedding_regularizer="l2(1.e-5)",
@@ -161,10 +164,10 @@ def _fit_ours(tmp_path, train_gen, valid_gen, fm, batch_norm):
 
 
 def _fit_reference(tmp_path, init_params, spec, lr_spec, train_gen,
-                   valid_gen, ref_fm, batch_norm):
+                   valid_gen, ref_fm, batch_norm, variant="RAT_m2"):
     """Train the live torch reference from the transplanted init;
     return (epoch_losses, eval_logs, final_lr)."""
-    from fuxictr.pytorch.models import RAT_m2
+    from fuxictr.pytorch import models as ref_models
 
     # the reference's fit_generator reads np.Inf, removed in NumPy 2.0
     if not hasattr(np, "Inf"):
@@ -176,21 +179,25 @@ def _fit_reference(tmp_path, init_params, spec, lr_spec, train_gen,
     ref_metrics.log_loss = lambda y_true, y_pred, eps=1e-7: sk_log_loss(
         y_true, np.clip(y_pred, eps, 1 - eps))
 
-    ref = RAT_m2(ref_fm, gpu=-1, learning_rate=LR,
-                 dnn_activations="ReLU",
-                 embedding_regularizer="l2(1.e-5)",
-                 net_regularizer="l2(1.e-5)",
-                 retrieval_augmented=True,
-                 retrieval_configs={"topK": K, "label_wise": False},
-                 optimizer="adam", loss="binary_crossentropy",
-                 model_root=str(tmp_path / "ref_exps"),
-                 metrics=["AUC", "logloss"], monitor="AUC",
-                 monitor_mode="max", patience=2, every_x_epochs=1,
-                 save_best_only=True, reduce_lr_on_plateau=True,
-                 verbose=0, task="binary_classification",
-                 batch_norm=batch_norm, **MODEL_KNOBS)
+    ref = getattr(ref_models, variant)(
+        ref_fm, gpu=-1, learning_rate=LR,
+        dnn_activations="ReLU",
+        embedding_regularizer="l2(1.e-5)",
+        net_regularizer="l2(1.e-5)",
+        retrieval_augmented=True,
+        retrieval_configs={"topK": K, "label_wise": False},
+        optimizer="adam", loss="binary_crossentropy",
+        model_root=str(tmp_path / "ref_exps"),
+        metrics=["AUC", "logloss"], monitor="AUC",
+        monitor_mode="max", patience=2, every_x_epochs=1,
+        save_best_only=True, reduce_lr_on_plateau=True,
+        verbose=0, task="binary_classification",
+        batch_norm=batch_norm, **MODEL_KNOBS)
     os.makedirs(ref.model_dir, exist_ok=True)
-    _transplant_rat_m2(ref, init_params, spec, lr_spec, DEPTH)
+    if variant == "RAT_m2":
+        _transplant_rat_m2(ref, init_params, spec, lr_spec, DEPTH)
+    else:
+        _transplant_variant(ref, variant, init_params, spec, lr_spec)
     # __init__ compiled against the pre-transplant Parameter objects;
     # rebind the optimizer to the transplanted ones
     ref.compile("adam", loss="binary_crossentropy", lr=LR)
@@ -219,9 +226,15 @@ def _fit_reference(tmp_path, init_params, spec, lr_spec, train_gen,
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("batch_norm", [False, True])
+@pytest.mark.parametrize("variant,batch_norm", [
+    ("RAT_m2", False), ("RAT_m2", True),
+    # VERDICT r3 item 6: m3 (shared W_q, halved heads, averaged
+    # branches) is the most divergence-prone head — run it through the
+    # full multi-epoch harness, not just single-step parity
+    ("RAT_m3", False),
+])
 def test_training_trajectory_matches_reference(tmp_path, split_files,
-                                               batch_norm):
+                                               variant, batch_norm):
     _import_reference()
     train_h5, valid_h5 = split_files
 
@@ -235,7 +248,7 @@ def test_training_trajectory_matches_reference(tmp_path, split_files,
     # ours first: computes + caches retrieval for both splits
     train_gen, valid_gen = _our_generators(train_h5, valid_h5, fm)
     trainer, init_params, our_losses, our_evals, our_lr = _fit_ours(
-        tmp_path, train_gen, valid_gen, fm, batch_norm)
+        tmp_path, train_gen, valid_gen, fm, batch_norm, variant)
 
     ref_fm = _ref_feature_map(_specs(), num_fields=3)
     ref_train, ref_valid = _ref_generators(train_h5, valid_h5, ref_fm)
@@ -244,7 +257,8 @@ def test_training_trajectory_matches_reference(tmp_path, split_files,
                                   train_gen.retr_indices)
     ref_losses, ref_evals, ref_lr = _fit_reference(
         tmp_path, init_params, trainer.model.embedding_spec,
-        trainer.model.lr_spec, ref_train, ref_valid, ref_fm, batch_norm)
+        trainer.model.lr_spec, ref_train, ref_valid, ref_fm, batch_norm,
+        variant)
 
     # identical run shape: same early-stop epoch, same eval count
     assert len(our_losses) == len(ref_losses), (our_losses, ref_losses)
