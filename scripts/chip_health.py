@@ -106,37 +106,38 @@ def main():
     dt = max((t9 - t1) / 8, 1e-9)
     out["matmul_tflops"] = round(2 * 8192 ** 3 / dt / 1e12, 1)
 
-    # device probe C: small-dim relayout rate. The RAT grid's awkward
-    # shapes ([4096,6,4,10] <-> [24576,4,10] with (8,128)/(4,128)
-    # tilings) dominate the model step; a third degradation mode was
-    # observed (2026-08-20) where exactly these copies ran ~30x slow
-    # (~215 us each vs ~6 us healthy) while big matmuls and the BM25
-    # scan held full rate — making bench.py read ~213k examples/s on a
-    # chip that probes "fast" on FLOP tests.
-    y0 = jnp.ones((4096, 6, 4, 10), jnp.float32)
+    # device probe C: the model's own attention at RAT grid shapes.
+    # A third degradation mode was observed (2026-08-20, xplane trace):
+    # small-dim relayout copies around the attention ran ~30x slow
+    # (~215 us each vs ~6 us in the r3 profile) while big matmuls and
+    # the BM25 scan held full rate — making bench.py read ~213k
+    # examples/s on a chip that probes "fast" on FLOP tests. Synthetic
+    # swapaxes probes get layout-elided by the compiler, so this probe
+    # times the repo's actual MHSA (which pins the offending layouts).
+    from rat_tpu.nn.layers import _mhsa
+    q0 = jnp.ones((24576, 4, 10), jnp.float32)
 
-    def relayouts(n):
+    def attn(n):
         def fn(x, salt):
             def body(c, _):
-                a = c.reshape(24576, 4, 10) * salt
-                a = jnp.swapaxes(a, 0, 2)
-                (a,) = jax.lax.optimization_barrier((a,))
-                c2 = jnp.swapaxes(a, 0, 2).reshape(4096, 6, 4, 10)
-                (c2,) = jax.lax.optimization_barrier((c2,))
+                (c2,) = jax.lax.optimization_barrier(
+                    (_mhsa(c * salt, c, c, heads=2, scale=0.3),))
                 return c2, None
             return jax.lax.scan(body, x, jnp.arange(n))[0]
         return jax.jit(fn)
 
-    r10, r100 = relayouts(10), relayouts(100)
-    _sync_time(r10, y0), _sync_time(r100, y0)          # compile
-    tA = min(_sync_time(r10, y0) for _ in range(2))
-    tB = min(_sync_time(r100, y0) for _ in range(2))
-    out["relayout_us"] = round(max((tB - tA) / 90 / 4 * 1e6, 0.0), 1)
+    a10, a60 = attn(10), attn(60)
+    _sync_time(a10, q0), _sync_time(a60, q0)           # compile
+    tA = min(_sync_time(a10, q0) for _ in range(2))
+    tB = min(_sync_time(a60, q0) for _ in range(2))
+    out["mhsa_us"] = round(max((tB - tA) / 50 * 1e6, 0.0), 1)
 
+    # mhsa healthy ~15 us at these shapes; the relayout-degraded state
+    # measures ~60+ us here while the full model step runs 20-40x slow
     out["link_ok"] = out["roundtrip_ms"] < 300
     out["device_ok"] = (out["kernel_tax_ms"] < 0.15
                         and out["matmul_tflops"] > 80
-                        and out["relayout_us"] < 40)
+                        and out["mhsa_us"] < 40)
     out["healthy"] = bool(out["link_ok"] and out["device_ok"])
     print(json.dumps(out))
 

@@ -254,3 +254,45 @@ def test_inter_block_guard_resolves_effective_idf(tmp_path):
                                    retrieval_pool_fname="self",
                                    retrieval_augmented=True)
             list(g.iter_block_views())
+
+
+def test_block_mode_grouped_dispatch_matches_stepwise(tiny_feature_map,
+                                                      demo_params, tmp_path,
+                                                      monkeypatch):
+    """Grouped train dispatch must flush at BLOCK boundaries (each block
+    is a separate device-resident split, so a scan group can never span
+    two blocks) and still match the per-step path exactly: 3 blocks x 4
+    batches with group=3 exercises scan groups, block-edge remainders,
+    and the final partial batch."""
+    import jax
+
+    paths = []
+    rng = np.random.RandomState(7)
+    for i in range(3):
+        X = rng.randint(1, 8, (120, 3))
+        y = (X[:, 0] >= 4).astype(np.float64)
+        arr = np.concatenate([X, y[:, None]], axis=1)
+        p = str(tmp_path / f"train_part_{i}.h5")
+        save_hdf5(arr, p)
+        paths.append(p)
+    rc = dict(RC, topK=2)
+
+    def run(group):
+        with monkeypatch.context() as m:
+            m.setenv("RAT_TPU_TRAIN_SCAN_BATCHES", str(group))
+            gen = DataBlockGenerator(paths, batch_size=32,
+                                     retrieval_configs=dict(rc),
+                                     retrieval_pool_fname="self",
+                                     retrieval_augmented=True, shuffle=True)
+            valid = FakeGen(n=64, seed=2, shuffle=False)
+            tr = _trainer(tiny_feature_map, demo_params, tmp_path,
+                          patience=100)
+            tr.fit(gen, validation_data=valid, epochs=2)
+        return jax.device_get(tr.state.params), int(tr.state.step)
+
+    params_s, step_s = run(0)
+    params_g, step_g = run(3)
+    assert step_s == step_g
+    for a, b in zip(jax.tree_util.tree_leaves(params_s),
+                    jax.tree_util.tree_leaves(params_g)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
