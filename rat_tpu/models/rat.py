@@ -55,6 +55,10 @@ class RATModel(nn.Module):
     batch_norm: bool = False
     use_wide: bool = False
     data_dir: Optional[str] = None
+    # m2 encoder implementation: 'env' | 'stream' | 'grid_minor'
+    # (identical parameter tree and math; layout schedule only — the
+    # trainer resolves config value 'auto' by on-device probe)
+    encoder_impl: str = "env"
 
     @nn.compact
     def __call__(self, X, y, X_num=None, train: bool = False):
@@ -90,11 +94,13 @@ class RATModel(nn.Module):
         if self.variant == "default":
             out = CrossIntraEncoder(d, self.num_heads, self.dim_head,
                                     self.dropout, self.depth, hidden_dim,
+                                    impl=self.encoder_impl,
                                     name="encoder")(grid, train=train)
             cls = out[:, 0, 0]
         elif self.variant == "pa":
             out = CrossIntraEncoderPA(d, self.num_heads, self.dim_head,
                                       self.dropout, self.depth, hidden_dim,
+                                      impl=self.encoder_impl,
                                       name="encoder")(grid, train=train)
             cls = out[:, 0, 0]
         elif self.variant == "jm":
@@ -154,4 +160,9 @@ def build_model(feature_map, params):
         batch_norm=params.get("batch_norm", False),
         use_wide=params.get("use_wide", False),
         data_dir=feature_map.data_dir,
+        # 'auto' is a trainer-level directive (resolved by probing);
+        # at the model level it means 'env' until resolved
+        encoder_impl={"auto": "env"}.get(
+            params.get("encoder_impl", "auto"),
+            params.get("encoder_impl", "env")),
     )

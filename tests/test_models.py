@@ -227,3 +227,118 @@ def test_wide_tower_is_target_only(tiny_feature_map, demo_params, rng):
     np.testing.assert_allclose(l1, l2)
     l3 = np.asarray(lr.apply(v, Xt[:, 0:1]))
     assert not np.allclose(l1, l3)
+
+
+class TestGridMinorEncoder:
+    """RAT_TPU_ENCODER_IMPL=grid_minor must be a pure layout change:
+    identical parameter tree, identical forward and gradients."""
+
+    def _encoder(self, heads=2, dim_head=5, d=10, depth=3):
+        from rat_tpu.nn.encoders import CrossIntraEncoder
+        return CrossIntraEncoder(d, heads, dim_head, 0.0, depth, 4 * d)
+
+    def test_param_tree_identical(self, rng, monkeypatch):
+        enc = self._encoder()
+        x = jnp.asarray(rng.randn(3, 4, 5, 10).astype(np.float32))
+        v_stream = enc.init(jax.random.PRNGKey(7), x)
+        monkeypatch.setenv("RAT_TPU_ENCODER_IMPL", "grid_minor")
+        v_gm = enc.init(jax.random.PRNGKey(7), x)
+        s_paths = {jax.tree_util.keystr(p): a.shape for p, a in
+                   jax.tree_util.tree_leaves_with_path(v_stream)}
+        g_paths = {jax.tree_util.keystr(p): a.shape for p, a in
+                   jax.tree_util.tree_leaves_with_path(v_gm)}
+        assert s_paths == g_paths
+        # same init rng stream -> same values leaf for leaf
+        for a, b in zip(jax.tree_util.tree_leaves(v_stream),
+                        jax.tree_util.tree_leaves(v_gm)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.parametrize("heads,dim_head", [(2, 5), (1, 10), (4, 3)])
+    def test_forward_and_grad_match_stream(self, rng, monkeypatch,
+                                           heads, dim_head):
+        enc = self._encoder(heads=heads, dim_head=dim_head)
+        x = jnp.asarray(rng.randn(6, 4, 5, 10).astype(np.float32))
+        variables = enc.init(jax.random.PRNGKey(0), x)
+
+        def loss(v, x):
+            return jnp.sum(enc.apply(v, x) ** 2)
+
+        y_s, g_s = jax.value_and_grad(loss)(variables, x)
+        monkeypatch.setenv("RAT_TPU_ENCODER_IMPL", "grid_minor")
+        y_g, g_g = jax.value_and_grad(loss)(variables, x)
+        np.testing.assert_allclose(float(y_s), float(y_g), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                        jax.tree_util.tree_leaves(g_g)):
+            # the two schedules reassociate fp32 sums differently; scale
+            # the absolute floor by the leaf's own gradient magnitude
+            atol = 2e-6 * float(np.max(np.abs(np.asarray(a))) + 1.0)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=atol)
+
+    def test_full_model_prediction_matches(self, tiny_feature_map,
+                                           demo_params, rng, monkeypatch):
+        model = build_model(tiny_feature_map, demo_params)
+        X, y = _make_inputs(rng, B=8)
+        variables = model.init(jax.random.PRNGKey(0), X, y, train=False)
+        out_s = model.apply(variables, X, y, train=False)
+        monkeypatch.setenv("RAT_TPU_ENCODER_IMPL", "grid_minor")
+        out_g = model.apply(variables, X, y, train=False)
+        np.testing.assert_allclose(np.asarray(out_s["y_pred"]),
+                                   np.asarray(out_g["y_pred"]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+class TestGridMinorEncoderPA:
+    """grid_minor for the m3 (PA) stack: identical tree + math."""
+
+    def _encoder(self, heads=4, dim_head=5, d=10, depth=2):
+        from rat_tpu.nn.encoders import CrossIntraEncoderPA
+        return CrossIntraEncoderPA(d, heads, dim_head, 0.0, depth, 2 * d)
+
+    def test_param_tree_identical(self, rng, monkeypatch):
+        enc = self._encoder()
+        x = jnp.asarray(rng.randn(3, 4, 5, 10).astype(np.float32))
+        v_stream = enc.init(jax.random.PRNGKey(7), x)
+        monkeypatch.setenv("RAT_TPU_ENCODER_IMPL", "grid_minor")
+        v_gm = enc.init(jax.random.PRNGKey(7), x)
+        s_paths = {jax.tree_util.keystr(p): a.shape for p, a in
+                   jax.tree_util.tree_leaves_with_path(v_stream)}
+        g_paths = {jax.tree_util.keystr(p): a.shape for p, a in
+                   jax.tree_util.tree_leaves_with_path(v_gm)}
+        assert s_paths == g_paths
+        for a, b in zip(jax.tree_util.tree_leaves(v_stream),
+                        jax.tree_util.tree_leaves(v_gm)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.parametrize("heads,dim_head", [(4, 5), (2, 10)])
+    def test_forward_and_grad_match_stream(self, rng, monkeypatch,
+                                           heads, dim_head):
+        enc = self._encoder(heads=heads, dim_head=dim_head)
+        x = jnp.asarray(rng.randn(6, 4, 5, 10).astype(np.float32))
+        variables = enc.init(jax.random.PRNGKey(0), x)
+
+        def loss(v, x):
+            return jnp.sum(enc.apply(v, x) ** 2)
+
+        y_s, g_s = jax.value_and_grad(loss)(variables, x)
+        monkeypatch.setenv("RAT_TPU_ENCODER_IMPL", "grid_minor")
+        y_g, g_g = jax.value_and_grad(loss)(variables, x)
+        np.testing.assert_allclose(float(y_s), float(y_g), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                        jax.tree_util.tree_leaves(g_g)):
+            atol = 2e-6 * float(np.max(np.abs(np.asarray(a))) + 1.0)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=atol)
+
+    def test_full_model_prediction_matches(self, tiny_feature_map,
+                                           demo_params, rng, monkeypatch):
+        model = build_model(tiny_feature_map,
+                            dict(demo_params, model="RAT_m3", num_heads=4))
+        X, y = _make_inputs(rng, B=8)
+        variables = model.init(jax.random.PRNGKey(0), X, y, train=False)
+        out_s = model.apply(variables, X, y, train=False)
+        monkeypatch.setenv("RAT_TPU_ENCODER_IMPL", "grid_minor")
+        out_g = model.apply(variables, X, y, train=False)
+        np.testing.assert_allclose(np.asarray(out_s["y_pred"]),
+                                   np.asarray(out_g["y_pred"]),
+                                   rtol=1e-5, atol=1e-6)

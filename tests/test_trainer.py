@@ -275,3 +275,38 @@ def test_eval_collect_bounds_inflight_groups(monkeypatch):
     assert fetched == sorted(fetched)  # FIFO drain
     np.testing.assert_array_equal(preds, np.repeat(np.arange(7.0), 3))
     np.testing.assert_array_equal(trues, np.repeat(-np.arange(7.0), 3))
+
+
+def test_encoder_impl_pinned_trains_identically(tiny_feature_map,
+                                                demo_params, tmp_path):
+    """encoder_impl='grid_minor' pinned in the config must train to the
+    same final state as the default stream encoder (same init rng, no
+    dropout): the impl is a pure layout schedule."""
+    import jax
+
+    def run(**over):
+        train = FakeGen(n=256, seed=3)
+        valid = FakeGen(n=128, seed=4, shuffle=False)
+        tr = _trainer(tiny_feature_map, demo_params, tmp_path,
+                      patience=100, **over)
+        tr.fit(train, validation_data=valid, epochs=2)
+        return tr, jax.device_get(tr.state.params)
+
+    tr_s, params_s = run(encoder_impl="stream")
+    tr_g, params_g = run(encoder_impl="grid_minor")
+    assert tr_s.model.encoder_impl == "stream"
+    assert tr_g.model.encoder_impl == "grid_minor"
+    for a, b in zip(jax.tree_util.tree_leaves(params_s),
+                    jax.tree_util.tree_leaves(params_g)):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5)
+
+
+def test_encoder_impl_auto_skips_probe_on_cpu(tiny_feature_map,
+                                              demo_params, tmp_path):
+    """'auto' (the default) must not probe on CPU backends — the model
+    keeps the 'env' placeholder and the stream path."""
+    tr = _trainer(tiny_feature_map, demo_params, tmp_path)
+    train = FakeGen(n=128, seed=5)
+    tr.fit(train, validation_data=FakeGen(n=64, seed=6, shuffle=False),
+           epochs=1)
+    assert tr.model.encoder_impl == "env"
