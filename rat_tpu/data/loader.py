@@ -132,14 +132,19 @@ def _retrieve(db_np_data, qry_np_data, retrieval_configs, resume_tag=None):
 
     Q = len(qry_np_data)
     resume_base = rc.get("resume_base")
-    slice_rows = int(rc.get("resume_slice_rows", _RESUME_SLICE_ROWS))
+    slice_rows = int(rc.get("resume_slice_rows",
+                            os.environ.get("RAT_TPU_RESUME_SLICE_ROWS",
+                                           _RESUME_SLICE_ROWS)))
     if resume_base is None or resume_tag is None or Q <= slice_rows:
         return run(qry_np_data)
 
     topk = engine_kwargs.get("topK", 10)
     ncols = qry_np_data.shape[1] if qry_np_data.ndim > 1 else 0
-    fingerprint = "{}:{}:{}:{}:{}".format(
-        Q, len(db_np_data), topk, ncols, slice_rows)
+    # slice_rows is deliberately NOT part of the fingerprint: done_rows
+    # is a row cursor, so a partial written under one slice size resumes
+    # correctly under any other (changing the knob between restarts must
+    # not throw away hours of completed scan)
+    fingerprint = "{}:{}:{}:{}".format(Q, len(db_np_data), topk, ncols)
     store = _PartialRetrievalStore(
         "{}.{}.partial.h5".format(resume_base, resume_tag),
         Q, topk, fingerprint)

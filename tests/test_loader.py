@@ -189,3 +189,68 @@ def test_mid_scan_resume_produces_identical_cache(tmp_path, monkeypatch):
             load_hdf5(os.path.join(crash, "retrieval_4_train.h5"), key),
             err_msg=key)
     assert not [p for p in os.listdir(crash) if p.endswith(".partial.h5")]
+
+
+def test_mid_scan_resume_survives_slice_size_change(tmp_path, monkeypatch):
+    """done_rows is a row cursor, not a slice index: a partial written
+    under one resume_slice_rows must resume under another (r4: an env
+    override of the slice size silently threw away a 16M-query scan
+    because the old fingerprint included it)."""
+    import h5py
+
+    import rat_tpu.data.loader as L
+
+    n = 120
+    clean = str(tmp_path / "clean")
+    os.makedirs(clean)
+    _write_split(os.path.join(clean, "train.h5"), n=n, seed=9)
+    DataGenerator(os.path.join(clean, "train.h5"), batch_size=16,
+                  retrieval_configs=dict(RC, split_type="2-fold",
+                                         resume_slice_rows=20),
+                  retrieval_pool_fname="self", retrieval_augmented=True)
+
+    crash = str(tmp_path / "crash")
+    os.makedirs(crash)
+    _write_split(os.path.join(crash, "train.h5"), n=n, seed=9)
+    real_engine = L.bm25_topk_retrieval
+    calls = {"n": 0}
+
+    def dying_engine(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated remote-worker crash")
+        return real_engine(*a, **k)
+
+    monkeypatch.setattr(L, "bm25_topk_retrieval", dying_engine)
+    with pytest.raises(RuntimeError, match="simulated"):
+        DataGenerator(os.path.join(crash, "train.h5"), batch_size=16,
+                      retrieval_configs=dict(RC, split_type="2-fold",
+                                             resume_slice_rows=20),
+                      retrieval_pool_fname="self", retrieval_augmented=True)
+    partial = [p for p in os.listdir(crash) if p.endswith(".partial.h5")][0]
+    with h5py.File(os.path.join(crash, partial)) as hf:
+        done_before = int(hf["done_rows"][()])
+    assert done_before > 0
+
+    # resume with a DIFFERENT slice size: cursor must be honored
+    monkeypatch.setattr(L, "bm25_topk_retrieval", real_engine)
+    resumed = {"rows": 0}
+
+    def counting_engine(*a, **k):
+        q = k.get("qry_np_data", a[1] if len(a) > 1 else [])
+        resumed["rows"] += len(q)
+        return real_engine(*a, **k)
+
+    monkeypatch.setattr(L, "bm25_topk_retrieval", counting_engine)
+    DataGenerator(os.path.join(crash, "train.h5"), batch_size=16,
+                  retrieval_configs=dict(RC, split_type="2-fold",
+                                         resume_slice_rows=10),
+                  retrieval_pool_fname="self", retrieval_augmented=True)
+    # the fold that crashed rescans only past its cursor; the other
+    # fold rescans fully — strictly fewer rows than a from-zero rerun
+    assert resumed["rows"] < 2 * 60, resumed
+    for key in ("indices", "values", "lens"):
+        np.testing.assert_array_equal(
+            load_hdf5(os.path.join(clean, "retrieval_4_train.h5"), key),
+            load_hdf5(os.path.join(crash, "retrieval_4_train.h5"), key),
+            err_msg=key)
