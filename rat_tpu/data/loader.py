@@ -59,7 +59,15 @@ class _PartialRetrievalStore:
         self.path = path
         fresh = not os.path.exists(path)
         self.hf = h5py.File(path, "a")
-        if not fresh and self.hf.attrs.get("fingerprint") != fingerprint:
+        stored = self.hf.attrs.get("fingerprint") if not fresh else None
+        if stored is not None and stored != fingerprint:
+            # legacy 5-field format carried resume_slice_rows as a 5th
+            # field; the cursor is slice-size-agnostic, so those
+            # partials stay valid — normalize the attr in place
+            if str(stored).split(":")[:4] == fingerprint.split(":"):
+                self.hf.attrs["fingerprint"] = fingerprint
+                stored = fingerprint
+        if not fresh and stored != fingerprint:
             logging.info("Discarding stale retrieval partial %s", path)
             self.hf.close()
             os.remove(path)
