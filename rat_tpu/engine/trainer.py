@@ -118,17 +118,27 @@ def _probe_encoder_impl(model, batch=4096, t=6, trials=3):
     caches; min-of-N damps shared-chip interference; everything (init
     included) is jitted — eager op-by-op dispatch through a busy tunnel
     can take minutes."""
-    from ..nn.encoders import CrossIntraEncoder, CrossIntraEncoderPA
-    enc_cls = (CrossIntraEncoderPA if model.variant == "pa"
-               else CrossIntraEncoder)
+    from ..nn.encoders import (CascadeEncoder, CrossIntraEncoder,
+                               CrossIntraEncoderPA, JointEncoder)
     d = model.embedding_dim
     s = model.num_fields + 1
+    hidden = d * model.scale_dim
     x0 = jnp.asarray(np.random.RandomState(0)
                      .randn(batch, t, s, d).astype(np.float32))
     best, winner = None, "stream"
     for impl in ("stream", "grid_minor"):
-        enc = enc_cls(d, model.num_heads, model.dim_head, 0.0,
-                      model.depth, d * model.scale_dim, impl=impl)
+        if model.variant == "pa":
+            enc = CrossIntraEncoderPA(d, model.num_heads, model.dim_head,
+                                      0.0, model.depth, hidden, impl=impl)
+        elif model.variant == "jm":
+            enc = JointEncoder(d, model.depth, model.num_heads,
+                               model.dim_head, hidden, 0.0, impl=impl)
+        elif model.variant == "ce":
+            enc = CascadeEncoder(d, model.depth, model.num_heads,
+                                 model.dim_head, hidden, 0.0, impl=impl)
+        else:
+            enc = CrossIntraEncoder(d, model.num_heads, model.dim_head,
+                                    0.0, model.depth, hidden, impl=impl)
         v = jax.jit(enc.init)(jax.random.PRNGKey(0), x0)
         step = jax.jit(jax.value_and_grad(
             lambda p, xx, e=enc: jnp.sum(e.apply(p, xx) ** 2)))
@@ -314,7 +324,7 @@ class Trainer(object):
         if os.environ.get("RAT_TPU_ENCODER_IMPL"):
             return
         m = self.model
-        if getattr(m, "variant", None) not in ("default", "pa") \
+        if getattr(m, "variant", None) not in ("default", "pa", "jm", "ce") \
                 or self._use_fast_forward():
             return
         if m.variant == "pa" and m.num_heads < 2:
@@ -630,6 +640,8 @@ class Trainer(object):
         pend = []           # buffered (idx, valid)
         cur_data = None     # device split the buffer gathers from
         dispatched = 0      # batches already dispatched this epoch
+        last_beat = tic     # heartbeat so watchdogs (and humans) can
+                            # tell a long silent epoch from a wedged one
 
         def finalize():
             """Dispatch the buffer, then run per-batch bookkeeping."""
@@ -654,6 +666,14 @@ class Trainer(object):
             n = len(pend)
             pend = []
             base, dispatched = dispatched, dispatched + n
+            nonlocal last_beat
+            now = time.time()
+            if now - last_beat >= 60.0:
+                last_beat = now
+                logging.info(
+                    "epoch progress: %d/%d batches dispatched "
+                    "(%.0f examples/s dispatch-side)", dispatched,
+                    n_epoch, examples / max(now - tic, 1e-9))
             for i in range(n):
                 # boundary batches are group-final by construction, so
                 # evaluate() runs against the post-boundary state

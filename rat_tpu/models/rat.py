@@ -105,11 +105,13 @@ class RATModel(nn.Module):
             cls = out[:, 0, 0]
         elif self.variant == "jm":
             out = JointEncoder(d, self.depth, self.num_heads, self.dim_head,
-                               hidden_dim, self.dropout)(grid, train=train)
+                               hidden_dim, self.dropout,
+                               impl=self.encoder_impl)(grid, train=train)
             cls = out[:, 0, 0]
         elif self.variant == "ce":
             out = CascadeEncoder(d, self.depth, self.num_heads, self.dim_head,
-                                 hidden_dim, self.dropout)(grid, train=train)
+                                 hidden_dim, self.dropout,
+                                 impl=self.encoder_impl)(grid, train=train)
             cls = out[:, 0]
         else:
             raise NotImplementedError("variant={}".format(self.variant))

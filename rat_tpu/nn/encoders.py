@@ -161,6 +161,43 @@ class _GMFeedForward(nn.Module):
         return nn.Dropout(rate=self.dropout, deterministic=not train)(h)
 
 
+class _GMPreNormFeedForward(nn.Module):
+    """PreNormFeedForward param twin on [t, s, d, b]."""
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        xn = nn.LayerNorm(epsilon=1e-5, reduction_axes=2, feature_axes=2,
+                          name="LayerNorm_0")(x)
+        return _GMFeedForward(self.dim, self.hidden_dim, self.dropout,
+                              name="FeedForward_0")(xn, train=train)
+
+
+class _GMTransformer(nn.Module):
+    """Transformer param twin on [t, s, d, b]: pre-norm blocks + final
+    LayerNorm, attention over the t axis (over_t) or the s axis."""
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.
+    over_t: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.depth):
+            x = _GMPreNormAttention(self.dim, self.heads, self.dim_head,
+                                    self.dropout, self.over_t,
+                                    name=f"attn_{i}")(x, train=train) + x
+            x = _GMPreNormFeedForward(self.dim, self.mlp_dim, self.dropout,
+                                      name=f"ff_{i}")(x, train=train) + x
+        return nn.LayerNorm(epsilon=1e-5, reduction_axes=2, feature_axes=2,
+                            name="LayerNorm_0")(x)
+
+
 class _GMSharedQAttention(nn.Module):
     """_SharedQAttention param twin on [t, s, d, b]: pre-norm, shared-Q
     (external w_q) + branch K/V, heads halved to h = num_heads/2 of
@@ -392,17 +429,29 @@ class CrossIntraEncoderPA(nn.Module):
 
 
 class JointEncoder(nn.Module):
-    """RAT_JM: one flat sequence over the whole grid."""
+    """RAT_JM: one flat sequence over the whole grid. impl: see
+    CrossIntraEncoder (the grid-minor twin runs the flat sequence as
+    [t*s, 1, d, b] with attention over axis 0)."""
     dim: int
     depth: int
     num_heads: int
     head_dim: int
     mlp_dim: int
     dropout: float = 0.
+    impl: str = "env"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, t, s, d = x.shape
+        impl = self.impl
+        if impl == "env":
+            impl = os.environ.get("RAT_TPU_ENCODER_IMPL", "stream")
+        if impl == "grid_minor":
+            h = jnp.transpose(x, (1, 2, 3, 0)).reshape(t * s, 1, d, b)
+            h = _GMTransformer(self.dim, self.depth, self.num_heads,
+                               self.head_dim, self.mlp_dim, self.dropout,
+                               over_t=True, name="encoder")(h, train=train)
+            return jnp.transpose(h.reshape(t, s, d, b), (3, 0, 1, 2))
         h = x.reshape(b, t * s, d)
         h = Transformer(self.dim, self.depth, self.num_heads, self.head_dim,
                         self.mlp_dim, self.dropout, name="encoder")(h, train=train)
@@ -410,17 +459,35 @@ class JointEncoder(nn.Module):
 
 
 class CascadeEncoder(nn.Module):
-    """RAT_CE: intra transformer -> per-sample CLS -> cross transformer."""
+    """RAT_CE: intra transformer -> per-sample CLS -> cross transformer.
+    impl: see CrossIntraEncoder (the grid-minor twin attends over the s
+    axis, slices CLS, then runs the CLS sequence as [t, 1, d, b])."""
     dim: int
     depth: int
     num_heads: int
     head_dim: int
     mlp_dim: int
     dropout: float = 0.
+    impl: str = "env"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, t, s, d = x.shape
+        impl = self.impl
+        if impl == "env":
+            impl = os.environ.get("RAT_TPU_ENCODER_IMPL", "stream")
+        if impl == "grid_minor":
+            h = jnp.transpose(x, (1, 2, 3, 0))                   # [t,s,d,b]
+            h = _GMTransformer(self.dim, self.depth, self.num_heads,
+                               self.head_dim, self.mlp_dim, self.dropout,
+                               over_t=False,
+                               name="intra_transformer")(h, train=train)
+            cls = h[:, 0:1]                                      # [t,1,d,b]
+            cls = _GMTransformer(self.dim, self.depth, self.num_heads,
+                                 self.head_dim, self.mlp_dim, self.dropout,
+                                 over_t=True,
+                                 name="cross_transformer")(cls, train=train)
+            return jnp.transpose(cls[:, 0], (2, 0, 1))           # [b,1+K,d]
         h = x.reshape(b * t, s, d)
         h = Transformer(self.dim, self.depth, self.num_heads, self.head_dim,
                         self.mlp_dim, self.dropout, name="intra_transformer")(

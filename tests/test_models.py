@@ -342,3 +342,70 @@ class TestGridMinorEncoderPA:
         np.testing.assert_allclose(np.asarray(out_s["y_pred"]),
                                    np.asarray(out_g["y_pred"]),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestGridMinorJointCascade:
+    """grid_minor twins for the m0 (Joint) and m1 (Cascade) stacks."""
+
+    @pytest.mark.parametrize("which", ["joint", "cascade"])
+    def test_param_tree_and_forward_match(self, rng, monkeypatch, which):
+        from rat_tpu.nn.encoders import CascadeEncoder, JointEncoder
+        cls = JointEncoder if which == "joint" else CascadeEncoder
+        enc = cls(10, 2, 2, 5, 20, 0.0)
+        x = jnp.asarray(rng.randn(6, 4, 5, 10).astype(np.float32))
+        v_s = enc.init(jax.random.PRNGKey(7), x)
+        monkeypatch.setenv("RAT_TPU_ENCODER_IMPL", "grid_minor")
+        v_g = enc.init(jax.random.PRNGKey(7), x)
+        assert ({jax.tree_util.keystr(p): a.shape for p, a in
+                 jax.tree_util.tree_leaves_with_path(v_s)} ==
+                {jax.tree_util.keystr(p): a.shape for p, a in
+                 jax.tree_util.tree_leaves_with_path(v_g)})
+        for a, b in zip(jax.tree_util.tree_leaves(v_s),
+                        jax.tree_util.tree_leaves(v_g)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        def loss(v, x):
+            return jnp.sum(enc.apply(v, x) ** 2)
+
+        monkeypatch.delenv("RAT_TPU_ENCODER_IMPL")
+        y_s = loss(v_s, x)
+        monkeypatch.setenv("RAT_TPU_ENCODER_IMPL", "grid_minor")
+        y_g = loss(v_s, x)
+        np.testing.assert_allclose(float(y_s), float(y_g), rtol=1e-5)
+
+        # these stacks end in a LayerNorm, which nearly cancels the
+        # parameter gradients (max |g| ~1e-3 here): fp32 reassociation
+        # between the two schedules shows up as percent-level relative
+        # error on the tiny remainders, so the gradient equivalence is
+        # asserted in float64 (measured 2e-11 rel; a real math
+        # difference would not vanish with precision)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            v64 = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(np.asarray(a), jnp.float64), v_s)
+            x64 = jnp.asarray(np.asarray(x), jnp.float64)
+            monkeypatch.delenv("RAT_TPU_ENCODER_IMPL")
+            g_s = jax.grad(loss)(v64, x64)
+            monkeypatch.setenv("RAT_TPU_ENCODER_IMPL", "grid_minor")
+            g_g = jax.grad(loss)(v64, x64)
+            for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                            jax.tree_util.tree_leaves(g_g)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-8, atol=1e-12)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    @pytest.mark.parametrize("model_name", ["RAT_m0", "RAT_m1"])
+    def test_full_model_prediction_matches(self, tiny_feature_map,
+                                           demo_params, rng, monkeypatch,
+                                           model_name):
+        model = build_model(tiny_feature_map,
+                            dict(demo_params, model=model_name))
+        X, y = _make_inputs(rng, B=8)
+        variables = model.init(jax.random.PRNGKey(0), X, y, train=False)
+        out_s = model.apply(variables, X, y, train=False)
+        monkeypatch.setenv("RAT_TPU_ENCODER_IMPL", "grid_minor")
+        out_g = model.apply(variables, X, y, train=False)
+        np.testing.assert_allclose(np.asarray(out_s["y_pred"]),
+                                   np.asarray(out_g["y_pred"]),
+                                   rtol=1e-5, atol=1e-6)
