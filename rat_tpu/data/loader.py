@@ -283,6 +283,10 @@ class DataGenerator(object):
         self.retrieval_augmented = False
         self.darray = data_array
         self.pool_darray = None
+        # identity of the retrieval pool ("self", a file path, or None)
+        # so consumers can share one device upload across generators
+        # that read the same explicit pool file (engine/trainer.py)
+        self.retrieval_pool_fname = retrieval_pool_fname
         self.retr_indices = None
         self.retr_values = None
         self.retr_lens = None

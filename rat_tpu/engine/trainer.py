@@ -492,10 +492,25 @@ class Trainer(object):
                 raise AssertionError(
                     "RIM does not support label-wise retrieval-enhanced training")
             pool = gen.pool_darray
-            data["pool_tokens"] = up(pool[:, :-1].astype(np.int32))
-            data["pool_labels"] = up(pool[:, -1].astype(np.float32))
-            if has_numeric:
-                data["pool_numeric"] = up(pool[:, :-1].astype(np.float32))
+            # splits that read the same explicit pool file (Tmall-style:
+            # train and valid against one 20M-row pool) share ONE device
+            # upload — the duplicate cost 2x pool HBM (~720 MB at Tmall
+            # scale) and tipped a shared-tenant chip into OOM. "self"
+            # pools key by array identity, never by equal content.
+            pool_key = getattr(gen, "retrieval_pool_fname", None)
+            if pool_key in (None, "self"):
+                pool_key = id(pool)
+            cached = getattr(self, "_pool_device_cache", None)
+            if cached is not None and cached[0] == pool_key:
+                data.update(cached[1])
+            else:
+                pool_up = {"pool_tokens": up(pool[:, :-1].astype(np.int32)),
+                           "pool_labels": up(pool[:, -1].astype(np.float32))}
+                if has_numeric:
+                    pool_up["pool_numeric"] = up(pool[:, :-1]
+                                                 .astype(np.float32))
+                self._pool_device_cache = (pool_key, pool_up)
+                data.update(pool_up)
             data["nbr"] = up(gen.neighbor_gather_indices())
         return data
 
@@ -511,7 +526,15 @@ class Trainer(object):
         if self._jit_train_step is None:
             self._build_steps()
         self.valid_gen = validation_data
-        self._valid_data = None if isinstance(validation_data, DataBlockGenerator) \
+        # lazy_valid_upload: don't keep the validation split device-
+        # resident through training — _eval_stream uploads it per eval
+        # call and frees it after, trading one re-upload per eval for
+        # ~split-size HBM headroom during train steps (needed when a
+        # shared-tenant chip can't hold train + valid + activations)
+        lazy_valid = bool(self.params.get("lazy_valid_upload", False)) \
+            or os.environ.get("RAT_TPU_LAZY_VALID") == "1"
+        self._valid_data = None if (lazy_valid or isinstance(
+            validation_data, DataBlockGenerator)) \
             else self.device_split(validation_data)
         self._train_data = None if self._block_mode else self.device_split(train_gen)
         self._best_metric = np.inf if self._monitor_mode == "min" else -np.inf

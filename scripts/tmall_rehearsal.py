@@ -111,6 +111,10 @@ def main():
                               retrieval_augmented=True)
     stage("valid_retrieval_21M_queries", t0)
 
+    # the 21M-row valid split stays host-side during the train epoch
+    # (uploaded per eval): train split + valid split + activations
+    # exceeded free HBM on the shared-tenant chip
+    params["lazy_valid_upload"] = True
     trainer = Trainer(fm, params)
     os.makedirs(trainer.model_dir, exist_ok=True)
     k = train_gen.topk

@@ -310,3 +310,46 @@ def test_encoder_impl_auto_skips_probe_on_cpu(tiny_feature_map,
     tr.fit(train, validation_data=FakeGen(n=64, seed=6, shuffle=False),
            epochs=1)
     assert tr.model.encoder_impl == "env"
+
+
+def test_device_split_shares_explicit_pool_upload(tiny_feature_map,
+                                                  demo_params, tmp_path):
+    """Two generators reading the same explicit pool file must share one
+    device upload of the pool arrays (2x pool HBM tipped a shared chip
+    into OOM at Tmall scale); 'self' pools never share by content."""
+    tr = _trainer(tiny_feature_map, demo_params, tmp_path)
+    g1, g2 = FakeGen(n=64, seed=0), FakeGen(n=64, seed=1)
+    g1.pool_darray = g2.pool_darray = FakeGen(n=96, seed=2).darray
+    g1.retrieval_pool_fname = g2.retrieval_pool_fname = "/data/pool.h5"
+    d1, d2 = tr.device_split(g1), tr.device_split(g2)
+    assert d1["pool_tokens"] is d2["pool_tokens"]
+    assert d1["pool_labels"] is d2["pool_labels"]
+    assert d1["tokens"] is not d2["tokens"]
+
+    # self-pools: identity keyed — different arrays, different uploads
+    g3, g4 = FakeGen(n=64, seed=3), FakeGen(n=64, seed=3)
+    d3, d4 = tr.device_split(g3), tr.device_split(g4)
+    assert d3["pool_tokens"] is not d4["pool_tokens"]
+
+
+def test_lazy_valid_upload_trains_identically(tiny_feature_map,
+                                              demo_params, tmp_path):
+    """lazy_valid_upload must not change the training trajectory — only
+    when the valid split lives on device."""
+    import jax
+
+    def run(**over):
+        train = FakeGen(n=256, seed=7)
+        valid = FakeGen(n=128, seed=8, shuffle=False)
+        tr = _trainer(tiny_feature_map, demo_params, tmp_path,
+                      patience=100, **over)
+        tr.fit(train, validation_data=valid, epochs=2)
+        return tr, jax.device_get(tr.state.params)
+
+    tr_e, params_e = run()
+    tr_l, params_l = run(lazy_valid_upload=True)
+    assert tr_e._valid_data is not None
+    assert tr_l._valid_data is None
+    for a, b in zip(jax.tree_util.tree_leaves(params_e),
+                    jax.tree_util.tree_leaves(params_l)):
+        np.testing.assert_array_equal(a, b)
