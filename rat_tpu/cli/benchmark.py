@@ -14,6 +14,7 @@ Usage:
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -90,6 +91,10 @@ def _bench_setup(shape="mltag", use_pallas=False, batch_size=4096,
         "metrics": ["AUC", "logloss"], "use_pallas": use_pallas,
     }
     params.update(cfg["model"])
+    if os.environ.get("RAT_AB_OVERRIDE"):
+        # ablation hook for scripts/degraded_ab.py: JSON model-param
+        # overrides, never set in production runs
+        params.update(json.loads(os.environ["RAT_AB_OVERRIDE"]))
     B, K, N = batch_size, 5, 200_000
     rng = np.random.RandomState(0)
     trainer = Trainer(fm, params)
