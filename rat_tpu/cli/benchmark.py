@@ -66,6 +66,15 @@ SHAPES = {
 }
 
 
+def _tag_ab_override(result):
+    """Any run with RAT_AB_OVERRIDE set mutates model params; stamp the
+    override into the result JSON so such a run is self-identifying and
+    can never masquerade as a production number."""
+    if os.environ.get("RAT_AB_OVERRIDE"):
+        result["ab_override"] = os.environ["RAT_AB_OVERRIDE"]
+    return result
+
+
 def _bench_setup(shape="mltag", use_pallas=False, batch_size=4096,
                  n_idx=16):
     import jax.numpy as jnp
@@ -84,6 +93,7 @@ def _bench_setup(shape="mltag", use_pallas=False, batch_size=4096,
     fm.input_length = fm.num_fields
     params = {
         "model": "RAT_m2", "model_id": "bench", "model_root": "/tmp/bench_exps/",
+        "batch_size": batch_size,  # encoder-autotune probe shape
         "dnn_activations": "relu", "dropout": 0.0,
         "net_dropout": 0.0, "use_wide": True,
         "embedding_regularizer": 0.03, "net_regularizer": 0,
@@ -148,8 +158,9 @@ def bench_train(use_pallas=False, steps=512, warmup=64, shape="mltag",
     eps = max(rates)
     name = "rat_m2_{}_train_throughput{}".format(
         shape, "_pallas" if use_pallas else "")
-    return {"metric": name, "value": round(eps, 1), "unit": "examples/s",
-            "vs_baseline": round(eps / SHAPES[shape]["ref_train"], 3)}
+    return _tag_ab_override(
+        {"metric": name, "value": round(eps, 1), "unit": "examples/s",
+         "vs_baseline": round(eps / SHAPES[shape]["ref_train"], 3)})
 
 
 def bench_eval(steps=100, shape="mltag"):
@@ -166,9 +177,10 @@ def bench_eval(steps=100, shape="mltag"):
         p, t = trainer._jit_eval_step(trainer.state, data, idx[i])
     float(jax.device_get(p[0]))  # hard sync (see bench_train)
     eps = steps * B / (time.perf_counter() - tic)
-    return {"metric": "rat_m2_{}_eval_throughput".format(shape),
-            "value": round(eps, 1), "unit": "examples/s",
-            "vs_baseline": round(eps / SHAPES[shape]["ref_eval"], 3)}
+    return _tag_ab_override(
+        {"metric": "rat_m2_{}_eval_throughput".format(shape),
+         "value": round(eps, 1), "unit": "examples/s",
+         "vs_baseline": round(eps / SHAPES[shape]["ref_eval"], 3)})
 
 
 def bench_retrieval(n_db=200_000, n_qry=100_000, topk=5):

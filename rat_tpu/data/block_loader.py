@@ -329,6 +329,10 @@ class _BlockView(object):
         return np.where(self.retr_indices < 0, self.retr_indices + n_pool,
                         self.retr_indices).astype(np.int32)
 
+    def neighbor_valid_mask(self):
+        """See DataGenerator.neighbor_valid_mask (neighbor_padding="mask")."""
+        return (self.retr_indices >= 0).astype(np.float32)
+
     def epoch_index_batches(self, rng=None):
         order = np.arange(self.num_samples)
         if self.shuffle:

@@ -360,6 +360,14 @@ class DataGenerator(object):
                         self.retr_indices + n_pool,
                         self.retr_indices).astype(np.int32)
 
+    def neighbor_valid_mask(self):
+        """[N, K] float32 validity per neighbor slot (1 = real neighbor,
+        0 = dropped zero-score slot). Backs the corrected
+        ``neighbor_padding="mask"`` mode, which zero-masks dropped
+        neighbors instead of reproducing the reference's silent wrap of
+        index -1 to the pool's LAST row (data_generator.py:69)."""
+        return (self.retr_indices >= 0).astype(np.float32)
+
     def epoch_index_batches(self, rng=None):
         """Yield (row_indices [B], valid_count) per step; the final
         partial batch is padded by repeating index 0 and masked in the

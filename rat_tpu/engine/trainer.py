@@ -70,7 +70,9 @@ def get_loss_fn(loss):
 
 def _gather_batch(data, idx, dedup_neighbors=False):
     """Assemble the [B, 1+K, L] grid from device-resident split arrays.
-    Returns (X tokens, y labels, X_num or None).
+    Returns (X tokens, y labels, X_num or None, nbr_mask or None —
+    the [B, 1+K] validity mask present only under the corrected
+    ``neighbor_padding="mask"`` mode, see DataGenerator).
 
     ``dedup_neighbors`` routes the pool-row gather through
     unique-ids + inverse-gather: neighbors repeat heavily within a batch
@@ -85,8 +87,13 @@ def _gather_batch(data, idx, dedup_neighbors=False):
     Xt = data["tokens"][idx]
     yt = data["labels"][idx]
     Xf = data["numeric"][idx] if "numeric" in data else None
+    nmask = None
     if "nbr" in data:
         nb = data["nbr"][idx]
+        if "nbr_ok" in data:
+            ok = data["nbr_ok"][idx]                       # [B, K]
+            nmask = jnp.concatenate(
+                [jnp.ones((ok.shape[0], 1), ok.dtype), ok], axis=1)
 
         def pool_gather(pool):
             if not dedup_neighbors:
@@ -108,13 +115,19 @@ def _gather_batch(data, idx, dedup_neighbors=False):
         y = yt[:, None]
         if Xf is not None:
             Xf = Xf[:, None, :]
-    return X, y, Xf
+    return X, y, Xf, nmask
 
 
-def _probe_encoder_impl(model, batch=4096, t=6, trials=3):
+#: probe winners keyed by (variant, model dims, B, t): a process that
+#: fits several experiments at one shape pays the two probe compiles
+#: once, not per fit()
+_ENCODER_IMPL_CACHE = {}
+
+
+def _probe_encoder_impl(model, batch, t, trials=3):
     """Time one jitted fwd+bwd of each m2/m3 encoder implementation at
-    the model's own grid shapes; return the faster of
-    'stream'/'grid_minor'. Salted inputs defeat remote-runtime result
+    the experiment's ACTUAL (batch, 1+K) grid shape; return the faster
+    of 'stream'/'grid_minor'. Salted inputs defeat remote-runtime result
     caches; min-of-N damps shared-chip interference; everything (init
     included) is jitted — eager op-by-op dispatch through a busy tunnel
     can take minutes."""
@@ -235,6 +248,7 @@ class Trainer(object):
 
     # ---- state ----------------------------------------------------------
     def init_state(self, example_X, example_y):
+        self._grid_t = int(np.shape(example_X)[1])  # 1+K, for the probe
         init_rng, self._rng = jax.random.split(self._rng)
         example_X_num = None
         if any(spec["type"] == "numeric" for spec
@@ -294,14 +308,26 @@ class Trainer(object):
         return total
 
     # ---- jitted steps ---------------------------------------------------
+    def _encoder_probe_shape(self):
+        """The (batch, 1+K) grid shape the train step will actually run
+        at — fit() records the generator's batch size and init_state the
+        grid's sample count, so the autotune probe measures the very
+        shape it must predict (a B=512 or K=10 experiment must not get a
+        winner timed at 4096x6)."""
+        return (int(getattr(self, "_probe_batch", None)
+                    or self.params.get("batch_size", 4096)),
+                int(getattr(self, "_grid_t", 6)))
+
     def _use_fast_forward(self):
-        """Fused Pallas path: default variant, no dropout/BN, relu DNN."""
+        """Fused Pallas path: default variant, no dropout/BN, relu DNN,
+        parity (wrap) neighbor padding."""
         m = self.model
         return (self.params.get("use_pallas", False)
                 and m.variant == "default"
                 and m.dropout == 0 and m.emb_dropout == 0
                 and m.net_dropout == 0 and not m.batch_norm
-                and str(m.dnn_activations).lower() == "relu")
+                and str(m.dnn_activations).lower() == "relu"
+                and self.params.get("neighbor_padding", "wrap") == "wrap")
 
     def _resolve_encoder_impl(self):
         """encoder_impl='auto' (the default): on a single-process
@@ -335,8 +361,18 @@ class Trainer(object):
             return
         if platform == "cpu" or self._multiprocess():
             return
-        winner = _probe_encoder_impl(m)
-        logging.info("encoder_impl=auto probe winner: %s", winner)
+        B, t = self._encoder_probe_shape()
+        key = (m.variant, m.embedding_dim, m.num_heads, m.dim_head,
+               m.depth, m.scale_dim, m.num_fields, B, t)
+        winner = _ENCODER_IMPL_CACHE.get(key)
+        if winner is None:
+            tic = time.perf_counter()
+            winner = _probe_encoder_impl(m, batch=B, t=t)
+            _ENCODER_IMPL_CACHE[key] = winner
+            logging.info(
+                "encoder_impl=auto probe winner: %s (B=%d, t=%d, "
+                "probe cost %.1fs)", winner, B, t,
+                time.perf_counter() - tic)
         if winner != "stream":
             self.model = build_model(self.feature_map,
                                      dict(self.params, encoder_impl=winner))
@@ -399,17 +435,20 @@ class Trainer(object):
                 variables = {"params": params}
                 if has_bn:
                     variables["batch_stats"] = state.batch_stats
-                X, y, Xf = _gather_batch(data, idx, dedup_neighbors=dedup)
+                X, y, Xf, nmask = _gather_batch(data, idx,
+                                                dedup_neighbors=dedup)
                 if use_fast:
                     out = rat_m2_fast_forward(params, model, X, y, Xf)
                     new_stats = state.batch_stats
                 elif has_bn:
                     out, mutated = model.apply(variables, X, y, Xf, train=True,
+                                               nbr_mask=nmask,
                                                rngs={"dropout": step_rng},
                                                mutable=["batch_stats"])
                     new_stats = mutated["batch_stats"]
                 else:
                     out = model.apply(variables, X, y, Xf, train=True,
+                                      nbr_mask=nmask,
                                       rngs={"dropout": step_rng})
                     new_stats = state.batch_stats
                 pred = out["y_pred"][:, 0]
@@ -449,11 +488,12 @@ class Trainer(object):
             variables = {"params": state.params}
             if has_bn:
                 variables["batch_stats"] = state.batch_stats
-            X, y, Xf = _gather_batch(data, idx, dedup_neighbors=dedup)
+            X, y, Xf, nmask = _gather_batch(data, idx, dedup_neighbors=dedup)
             if use_fast:
                 out = rat_m2_fast_forward(state.params, model, X, y, Xf)
             else:
-                out = model.apply(variables, X, y, Xf, train=False)
+                out = model.apply(variables, X, y, Xf, train=False,
+                                  nbr_mask=nmask)
             return out["y_pred"][:, 0], out["y_true"][:, 0]
 
         eval_step = eval_jit(_eval_core)
@@ -512,6 +552,8 @@ class Trainer(object):
                 self._pool_device_cache = (pool_key, pool_up)
                 data.update(pool_up)
             data["nbr"] = up(gen.neighbor_gather_indices())
+            if self.params.get("neighbor_padding", "wrap") == "mask":
+                data["nbr_ok"] = up(gen.neighbor_valid_mask())
         return data
 
     # ---- fit loop -------------------------------------------------------
@@ -523,6 +565,7 @@ class Trainer(object):
             L = self.feature_map.input_length or self.feature_map.num_fields
             self.init_state(np.zeros((2, 1 + k, L), np.int32),
                             np.zeros((2, 1 + k), np.float32))
+        self._probe_batch = train_gen.batch_size
         if self._jit_train_step is None:
             self._build_steps()
         self.valid_gen = validation_data

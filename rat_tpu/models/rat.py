@@ -61,10 +61,14 @@ class RATModel(nn.Module):
     encoder_impl: str = "env"
 
     @nn.compact
-    def __call__(self, X, y, X_num=None, train: bool = False):
+    def __call__(self, X, y, X_num=None, train: bool = False,
+                 nbr_mask=None):
         """X: [B, 1+K, L] int32 token ids (L = input_length), y: [B, 1+K]
         float labels, X_num: optional [B, 1+K, L] float values for
-        numeric columns. Returns {"y_pred": [B, 1] post-sigmoid,
+        numeric columns, nbr_mask: optional [B, 1+K] float validity mask
+        (corrected ``neighbor_padding="mask"`` mode — the reference
+        instead gathers pool row -1, wrapping to the LAST pool row,
+        data_generator.py:69). Returns {"y_pred": [B, 1] post-sigmoid,
         "y_true": [B, 1]}."""
         B, T = X.shape[:2]
         F = self.num_fields
@@ -87,6 +91,14 @@ class RATModel(nn.Module):
              y[:, 1:].astype(jnp.int32)], axis=1)              # [B, T]
         label_emb = label_embedding_layer(label_ids)[:, :, None, :]  # [B,T,1,d]
         grid = jnp.concatenate([label_emb, feature_emb], axis=2)  # [B,T,F+1,d]
+        if nbr_mask is not None:
+            # zero every embedded token (features AND label) of dropped
+            # neighbors, so they contribute exactly like the framework's
+            # other padding (zeroed padding_idx embedding rows) instead
+            # of injecting the pool's last row. The target column is
+            # always 1, so the DNN/LR towers (target-only) are
+            # untouched by construction.
+            grid = grid * nbr_mask[:, :, None, None]
         grid = nn.Dropout(rate=self.emb_dropout,
                           deterministic=not train)(grid)
 

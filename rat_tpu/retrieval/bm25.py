@@ -228,10 +228,10 @@ def _scan_topk(db_padded, qry, qry_idf, db_valid_len, topk, chunk_size,
 
 
 @partial(jax.jit, static_argnames=("topk", "chunk_size", "use_fused",
-                                   "dense_idf", "neg_pad"))
+                                   "dense_idf", "neg_pad", "fused_interpret"))
 def _scan_topk_batched(db_padded, qry_batches, idf_pack,
                        db_valid_len, topk, chunk_size, use_fused=False,
-                       dense_idf=False, neg_pad=False):
+                       dense_idf=False, neg_pad=False, fused_interpret=False):
     """Whole-retrieval device program: scan over query batches, each
     doing IDF lookup + chunked pool scan + zero-score finalize. One
     host round-trip per call.
@@ -257,7 +257,8 @@ def _scan_topk_batched(db_padded, qry_batches, idf_pack,
         if use_fused:
             v, i = bm25_topk_fused_pallas(qry, qry_idf, db_T, db_valid_len,
                                           topk=topk, block_q=128,
-                                          block_c=chunk_size)
+                                          block_c=chunk_size,
+                                          interpret=fused_interpret)
         else:
             v, i = _scan_topk(db_padded, qry, qry_idf, db_valid_len,
                               topk=topk, chunk_size=chunk_size,
@@ -355,9 +356,13 @@ def bm25_topk_retrieval(db_np_data, qry_np_data,
     # the fused kernel's running top-K assumes non-negative scores
     # (zero-initialized accumulators); Robertson IDF can go negative,
     # so that legacy path always takes the XLA scan
-    use_fused = not robertson and kwargs.get(
+    use_fused = not robertson and bool(kwargs.get(
         "use_fused", jax.default_backend() == "tpu"
-        and _os.environ.get("RAT_TPU_BM25_FUSED", "1") == "1")
+        and _os.environ.get("RAT_TPU_BM25_FUSED", "1") == "1"))
+    # an explicit use_fused=True on a non-TPU backend must not lower the
+    # Mosaic kernel for a backend that cannot run it; honor the override
+    # through the kernel's interpret mode instead (bit-identical, slow)
+    fused_interpret = use_fused and jax.default_backend() != "tpu"
     if use_fused:
         # the Pallas pipeline streams the pool HBM->VMEM itself; the
         # block just has to fit VMEM, the user's db_chunk_size (an HBM
@@ -422,7 +427,8 @@ def bm25_topk_retrieval(db_np_data, qry_np_data,
                                  db_valid_len,
                                  topk=topK, chunk_size=chunk_size,
                                  use_fused=use_fused,
-                                 dense_idf=dense_idf, neg_pad=robertson)
+                                 dense_idf=dense_idf, neg_pad=robertson,
+                                 fused_interpret=fused_interpret)
         lo = mb_start * qry_batch_size
         hi = min(lo + nb * qry_batch_size, Q)
         if pending is not None:

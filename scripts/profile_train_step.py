@@ -57,16 +57,22 @@ def main():
     for plane in data.planes:
         if "TPU" not in plane.name and "/device" not in plane.name.lower():
             continue
-        for line in plane.lines:
-            if "XLA Op" in line.name or "Ops" in line.name or True:
-                for ev in line.events:
-                    dur = ev.duration_ns / 1e3  # us
-                    per_op[ev.name] = per_op.get(ev.name, 0.0) + dur
-                    total += dur
+        # one op-level line per plane: summing every line would count
+        # the same device time once per hierarchy level (module line +
+        # op line) and make the percentages meaningless
+        op_lines = [l for l in plane.lines if "XLA Op" in l.name]
+        if not op_lines and plane.lines:
+            # no named op line: the deepest line is the op level
+            op_lines = [list(plane.lines)[-1]]
+        for line in op_lines:
+            for ev in line.events:
+                dur = ev.duration_ns / 1e3  # us
+                per_op[ev.name] = per_op.get(ev.name, 0.0) + dur
+                total += dur
 
     ranked = sorted(per_op.items(), key=lambda kv: -kv[1])
     print(f"planes parsed; total accounted {total/1e3:.2f} ms "
-          f"(all lines, may double-count module/op hierarchy)")
+          f"(op-level lines only)")
     for name, us in ranked[:45]:
         print(f"{us:12.1f} us  {100*us/max(total,1e-9):5.2f}%  {name[:110]}")
 

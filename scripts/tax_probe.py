@@ -62,6 +62,10 @@ def main():
 
     def transpose_rt(x):
         y = jnp.transpose(x, (3, 0, 1, 2)) * 1.0000001
+        # barrier the intermediate so the simplifier cannot commute the
+        # multiply and cancel the transpose pair (which would make this
+        # probe measure ~0 instead of relayout cost)
+        (y,) = jax.lax.optimization_barrier((y,))
         return jnp.transpose(y, (1, 2, 3, 0))
 
     def gather(tab):

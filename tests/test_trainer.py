@@ -40,6 +40,9 @@ class FakeGen:
         return np.where(self.retr_indices < 0, self.retr_indices + n_pool,
                         self.retr_indices).astype(np.int32)
 
+    def neighbor_valid_mask(self):
+        return (self.retr_indices >= 0).astype(np.float32)
+
     def epoch_index_batches(self, rng=None):
         order = np.arange(self.num_samples)
         if self.shuffle:
