@@ -205,6 +205,29 @@ def bench_retrieval(n_db=200_000, n_qry=100_000, topk=5):
             "vs_baseline": round(row_scores / 1e9, 3)}  # billion row-scores/s
 
 
+def bench_retrieval_exm(n_db=200_000, n_qry=100_000, topk=5):
+    """Exact-match prefilter path: low-cardinality exm column (8 keys ->
+    ~25k-row candidate windows) + 3 scored rest columns. The r4 per-batch
+    host loop measured 10,059 q/s here (BENCH_RESULTS.md); r5 groups
+    same-shape batches into scanned dispatches with on-device IDF."""
+    from ..retrieval import bm25_topk_retrieval
+    rng = np.random.RandomState(0)
+    db = np.stack([rng.randint(0, 8, n_db),
+                   rng.randint(0, 61000, n_db),
+                   rng.randint(0, 17000, n_db),
+                   rng.randint(0, 12000, n_db)], axis=1)
+    q = db[rng.randint(0, n_db, n_qry)]
+    kw = dict(exact_match_col_indices=[0], qry_batch_size=2048, topK=topk)
+    bm25_topk_retrieval(db, q[:4096], **kw)          # warm/compile
+    tic = time.perf_counter()
+    bm25_topk_retrieval(db, q, **kw)
+    qps = n_qry / (time.perf_counter() - tic)
+    return {"metric": "bm25_exact_match_queries_per_s_200k_pool",
+            "value": round(qps, 1), "unit": "queries/s",
+            # vs the r4 per-batch host-loop implementation
+            "vs_baseline": round(qps / 10_059, 3)}
+
+
 def bench_scaling(n_devices):
     """DP scaling over an n-device mesh.
 
@@ -292,7 +315,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--bench", default="train",
                         choices=["train", "train_pallas", "eval", "retrieval",
-                                 "scaling", "suite"])
+                                 "retrieval_exm", "scaling", "suite"])
     parser.add_argument("--devices", type=int, default=8)
     parser.add_argument("--shape", default="mltag", choices=sorted(SHAPES))
     args = parser.parse_args()
@@ -301,6 +324,7 @@ def main():
         "train_pallas": lambda: bench_train(True, shape=args.shape),
         "eval": lambda: bench_eval(shape=args.shape),
         "retrieval": bench_retrieval,
+        "retrieval_exm": bench_retrieval_exm,
         "scaling": lambda: bench_scaling(args.devices),
     }
     if args.bench == "suite":

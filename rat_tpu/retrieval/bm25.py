@@ -446,9 +446,8 @@ def _rows_as_void(a):
     return a.view([("f%d" % i, a.dtype) for i in range(a.shape[1])]).ravel()
 
 
-@partial(jax.jit, static_argnames=("topk", "chunk_size", "n_chunks"))
-def _exm_scan_topk(db_rest_sorted, qry, qry_idf, starts, lens,
-                   topk, chunk_size, n_chunks):
+def _exm_window_topk(db_rest_sorted, qry, qry_idf, starts, lens,
+                     topk, chunk_size, n_chunks):
     """Device-batched exact-match scoring: each query scans ONLY its own
     candidate window of the key-sorted pool.
 
@@ -486,6 +485,37 @@ def _exm_scan_topk(db_rest_sorted, qry, qry_idf, starts, lens,
     v, sel = jax.lax.top_k(vals, topk)
     pos = jnp.take_along_axis(poss, sel, axis=-1)
     return v, pos
+
+
+_exm_scan_topk = partial(jax.jit, static_argnames=(
+    "topk", "chunk_size", "n_chunks"))(_exm_window_topk)
+
+
+@partial(jax.jit, static_argnames=("topk", "chunk_size", "n_chunks",
+                                   "dense_idf"))
+def _exm_scan_topk_batched(db_rest_sorted, qry_stack, idf_pack,
+                           starts_stack, lens_stack, topk, chunk_size,
+                           n_chunks, dense_idf):
+    """Many exact-match query batches per dispatch: lax.scan over
+    [nb, B, ...] stacked batches that share one (chunk_size, n_chunks)
+    program shape, with the per-cell IDF lookup on device. One host
+    round-trip per GROUP of batches instead of one per batch — the
+    per-batch dispatch+sync+host-searchsorted loop was what held the
+    exact-match path three orders below the main fused scan."""
+
+    def body(carry, xs):
+        qry, starts, lens = xs
+        if dense_idf:
+            qry_idf = _idf_lookup_dense(qry, *idf_pack)
+        else:
+            qry_idf = _idf_lookup(qry, *idf_pack)
+        return carry, _exm_window_topk(db_rest_sorted, qry, qry_idf,
+                                       starts, lens, topk, chunk_size,
+                                       n_chunks)
+
+    _, (V, P) = jax.lax.scan(
+        body, None, (qry_stack, starts_stack, lens_stack))
+    return V, P
 
 
 def _exm_group_windows(db_np_data, qry_np_data, exact_match_col_indices):
@@ -532,6 +562,12 @@ def _exm_flat_fill(b_starts, b_lens, perm, n_pool, topk):
     return idx, valid.astype(np.float64), take_len.astype(np.int64)
 
 
+#: device work per exact-match dispatch (B * chunk * n_chunks * batches):
+#: same remote-watchdog motivation as max_scores_per_dispatch above, but
+#: candidate scoring is gather-bound, so the budget is tighter
+_EXM_MAX_SCORES_PER_DISPATCH = 2e10
+
+
 def _exact_match_retrieval(db_np_data, qry_np_data, exact_match_col_indices,
                            qry_batch_size, topK,
                            topK_values, topK_indices, topK_lens):
@@ -541,14 +577,24 @@ def _exact_match_retrieval(db_np_data, qry_np_data, exact_match_col_indices,
     the pool is stably sorted by its exact-match key ONCE on the host, so
     every group is a contiguous window (start, len) whose within-group
     order is ascending pool index — the same order pandas groupby yields.
-    Queries map to windows with one structured-array searchsorted, and
-    each batch is scored on device by `_exm_scan_topk`, which gathers
-    per-query candidate windows instead of materializing the batch-union
+    Queries map to windows with one structured-array searchsorted and
+    are scored on device by window-gather instead of the batch-union
     candidate matrix the reference builds (data_utils.py:931-946).
 
     Reference batch-level branch preserved (data_utils.py:906-918): a
     batch whose largest matched group fits in topK takes the flat path
-    (values 1.0, group order) for ALL its queries.
+    (values 1.0, group order) for ALL its queries. The branch is decided
+    per ORIGINAL batch — it depends on batch composition, so queries are
+    never re-ordered across batches.
+
+    Dispatch structure: flat batches fill on the host (vectorized);
+    scored batches are grouped by their compiled program shape
+    (chunk_size, n_chunks — window lengths bucketed to powers of two)
+    and each group runs as ONE scanned device dispatch with on-device
+    IDF lookup, the next group dispatched before the previous group's
+    results are fetched. The prior per-batch dispatch + device_get +
+    host-searchsorted loop measured 10k q/s — three orders below the
+    main fused scan (BENCH_RESULTS.md).
     """
     Q = len(qry_np_data)
     N = len(db_np_data)
@@ -566,11 +612,11 @@ def _exact_match_retrieval(db_np_data, qry_np_data, exact_match_col_indices,
     db_rest = db_np_data[:, rest_mask]
     qry_rest = qry_np_data[:, rest_mask]
     has_rest = db_rest.shape[1] > 0
-    idf_tables = _compute_idf_tables(db_rest) if has_rest else None
     qry_batch_size = Q if qry_batch_size is None else max(qry_batch_size, 1)
 
-    db_sorted_dev = None  # uploaded once, on first scored batch
-
+    # pass 1 (host): per original batch, branch decision + flat fills;
+    # scored batches accumulate per program shape
+    scored = {}                       # (chunk, n_chunks) -> list of batches
     for qry_idx in range(0, Q, qry_batch_size):
         sl = slice(qry_idx, min(qry_idx + qry_batch_size, Q))
         m = q_matched[sl]
@@ -578,46 +624,76 @@ def _exact_match_retrieval(db_np_data, qry_np_data, exact_match_col_indices,
             continue
         b_starts = q_starts[sl][m]
         b_lens = q_lens[sl][m]
+        out_rows = np.nonzero(m)[0] + qry_idx
         exm_max_size = int(b_lens.max())
         if not has_rest or exm_max_size <= topK:
             # flat path: indices in group order, values 1.0; truncation
             # at topK only bites when there are no rest columns
             idx, vals, lens = _exm_flat_fill(b_starts, b_lens, perm, N, topK)
-        else:
-            if db_sorted_dev is None:
-                pad = _round_up(N, 8)
-                db_sorted = np.zeros((pad, db_rest.shape[1]), dtype=np.int32)
-                db_sorted[:N] = db_rest[perm]
-                db_sorted_dev = jnp.asarray(db_sorted)
-            qb = qry_rest[sl][m]
-            nm = len(qb)
-            qidf = _map_to_idf(qb, idf_tables)
-            # pad the batch to the driver batch size so every dispatch
-            # reuses one program per candidate-window bucket
-            bpad = qry_batch_size - len(qb)
-            if bpad:
-                qb = np.pad(qb, ((0, bpad), (0, 0)))
-                qidf = np.pad(qidf, ((0, bpad), (0, 0)))
-                b_starts = np.pad(b_starts, (0, bpad))
-                b_lens = np.pad(b_lens, (0, bpad))
-            # bucket the candidate-window length to a power of two to
-            # bound recompiles across batches
-            chunk = max(topK, min(1 << (exm_max_size - 1).bit_length(), 4096))
-            n_chunks = _round_up(exm_max_size, chunk) // chunk
-            v, pos = _exm_scan_topk(
-                db_sorted_dev, jnp.asarray(qb.astype(np.int32)),
-                jnp.asarray(qidf),
-                jnp.asarray(b_starts.astype(np.int32)),
-                jnp.asarray(b_lens.astype(np.int32)),
-                topk=topK, chunk_size=chunk, n_chunks=n_chunks)
-            v, pos = jax.device_get((v, pos))
-            v, pos = v[:nm], pos[:nm]
+            topK_indices[out_rows] = idx
+            topK_values[out_rows] = vals
+            topK_lens[out_rows] = lens
+            continue
+        qb = qry_rest[sl][m]
+        nm = len(qb)
+        # pad the batch to the driver batch size so batches share one
+        # program shape; bucket the candidate-window length to a power
+        # of two to bound distinct program shapes
+        bpad = qry_batch_size - nm
+        if bpad:
+            qb = np.pad(qb, ((0, bpad), (0, 0)))
+            b_starts = np.pad(b_starts, (0, bpad))
+            b_lens = np.pad(b_lens, (0, bpad))
+        chunk = max(topK, min(1 << (exm_max_size - 1).bit_length(), 4096))
+        n_chunks = _round_up(exm_max_size, chunk) // chunk
+        scored.setdefault((chunk, n_chunks), []).append(
+            (qb.astype(np.int32), b_starts.astype(np.int32),
+             b_lens.astype(np.int32), out_rows, nm))
+
+    if not scored:
+        logging.debug("exact-match retrieval done for %d queries", Q)
+        return
+
+    # pass 2 (device): one scanned dispatch per (program shape, window
+    # of batches), pipelined one deep
+    idf_tables = _compute_idf_tables(db_rest)
+    idf_pack = _pack_idf_dense(idf_tables)
+    dense_idf = idf_pack is not None
+    if not dense_idf:
+        idf_pack = _pack_idf_tables(idf_tables)
+    pad = _round_up(N, 8)
+    db_sorted = np.zeros((pad, db_rest.shape[1]), dtype=np.int32)
+    db_sorted[:N] = db_rest[perm]
+    db_sorted_dev = jnp.asarray(db_sorted)
+
+    def collect(pending):
+        (V, P), metas = pending
+        V, P = jax.device_get((V, P))
+        for i, (out_rows, nm) in enumerate(metas):
+            v, pos = V[i][:nm], P[i][:nm]
             keep = v > 0
-            idx = np.where(keep, perm[np.minimum(pos, N - 1)], -1)
-            vals = np.where(keep, v.astype(np.float64), 0.0)
-            lens = keep.sum(-1).astype(np.int64)
-        out_rows = np.nonzero(m)[0] + qry_idx
-        topK_indices[out_rows] = idx
-        topK_values[out_rows] = vals
-        topK_lens[out_rows] = lens
+            topK_indices[out_rows] = np.where(
+                keep, perm[np.minimum(pos, N - 1)], -1)
+            topK_values[out_rows] = np.where(keep, v.astype(np.float64), 0.0)
+            topK_lens[out_rows] = keep.sum(-1).astype(np.int64)
+
+    pending = None
+    for (chunk, n_chunks), batches in scored.items():
+        per_batch = float(qry_batch_size) * chunk * n_chunks
+        group = max(1, int(_EXM_MAX_SCORES_PER_DISPATCH / max(per_batch, 1)))
+        for lo in range(0, len(batches), group):
+            window = batches[lo:lo + group]
+            nb = len(window)
+            out = _exm_scan_topk_batched(
+                db_sorted_dev,
+                jnp.asarray(np.stack([b[0] for b in window])),
+                idf_pack,
+                jnp.asarray(np.stack([b[1] for b in window])),
+                jnp.asarray(np.stack([b[2] for b in window])),
+                topk=topK, chunk_size=chunk, n_chunks=n_chunks,
+                dense_idf=dense_idf)
+            if pending is not None:
+                collect(pending)
+            pending = (out, [(b[3], b[4]) for b in window])
+    collect(pending)
     logging.debug("exact-match retrieval done for %d queries", Q)
