@@ -240,11 +240,20 @@ class Trainer(object):
         the (identically computed) global batch."""
         if self.mesh is None or not self._multiprocess():
             return jnp.asarray(idx)
-        from jax.sharding import NamedSharding, PartitionSpec as P
         from ..parallel.distributed import (host_local_batch_to_global,
                                             process_local_rows)
         local = process_local_rows(len(idx), np.asarray(idx))
         return host_local_batch_to_global(local, self.mesh)
+
+    def _globalize_idx_group(self, idx_group):
+        """[G, B] group of index batches for one scanned dispatch (scan
+        axis replicated, batch axis sharded over 'data'); multi-process
+        hosts each contribute their contiguous [G, B_local] slice."""
+        if self.mesh is None or not self._multiprocess():
+            return jnp.asarray(idx_group)
+        from ..parallel.distributed import host_local_index_group_to_global
+        return host_local_index_group_to_global(np.asarray(idx_group),
+                                                self.mesh)
 
     # ---- state ----------------------------------------------------------
     def init_state(self, example_X, example_y):
@@ -565,7 +574,7 @@ class Trainer(object):
             L = self.feature_map.input_length or self.feature_map.num_fields
             self.init_state(np.zeros((2, 1 + k, L), np.int32),
                             np.zeros((2, 1 + k), np.float32))
-        self._probe_batch = train_gen.batch_size
+        self._probe_batch = getattr(train_gen, "batch_size", None)
         if self._jit_train_step is None:
             self._build_steps()
         self.valid_gen = validation_data
@@ -624,12 +633,11 @@ class Trainer(object):
     _TRAIN_SCAN_BATCHES = 64
 
     def _train_group_size(self):
-        """Batches per scanned train dispatch. 0 = per-step only:
-        multi-process runs assemble per-host global index batches one
-        step at a time, and a profiling epoch needs per-step dispatch
-        boundaries for the trace window."""
-        if self.mesh is not None and self._multiprocess():
-            return 0
+        """Batches per scanned train dispatch. 0 = per-step only (a
+        profiling epoch needs per-step dispatch boundaries for the trace
+        window). Multi-process runs group too: each host contributes its
+        [G, B_local] slice of the global index group, so pods get the
+        same dispatch amortization as single-process."""
         env = os.environ.get("RAT_TPU_TRAIN_SCAN_BATCHES")
         g = int(env) if env is not None else \
             int(self.params.get("train_scan_batches",
@@ -718,7 +726,8 @@ class Trainer(object):
                 idxs = np.stack([np.asarray(i) for i, _ in pend])
                 valids = np.asarray([v for _, v in pend], np.float32)
                 self.state, loss_vec = self._jit_train_scan(
-                    self.state, cur_data, idxs.astype(np.int32),
+                    self.state, cur_data,
+                    self._globalize_idx_group(idxs.astype(np.int32)),
                     valids, rng)
                 losses.append(loss_vec)
             else:
@@ -826,17 +835,16 @@ class Trainer(object):
     def _eval_dispatch(self, data_gen, data=None):
         """Dispatch the whole eval set asynchronously; yield
         (pred_device_array [nb, B], true_device_array [nb, B],
-        valid row-counts per batch). Single-process runs fold
-        _EVAL_SCAN_BATCHES index batches into one scanned dispatch —
-        per-dispatch latency otherwise dominates large-set evaluation;
-        multi-process keeps the per-batch path (per-host index batches
-        are assembled into global arrays one step at a time)."""
+        valid row-counts per batch). _EVAL_SCAN_BATCHES index batches
+        fold into one scanned dispatch — per-dispatch latency otherwise
+        dominates large-set evaluation. Multi-process runs group too
+        (hosts contribute [nb, B_local] slices of the global group)."""
         group = self._EVAL_SCAN_BATCHES
         small_set = getattr(data_gen, "num_batches", 0) < 2 * group
-        if small_set or (self.mesh is not None and self._multiprocess()):
-            # not worth a second compiled program (or per-host index
-            # assembly is per-batch): still fully asynchronous, the
-            # caller fetches everything in one device_get
+        if small_set:
+            # not worth a second compiled program: still fully
+            # asynchronous, the caller fetches everything in one
+            # device_get
             for split_data, idx, valid in self._eval_stream(data_gen, data):
                 p, t = self._jit_eval_step(self.state, split_data,
                                            self._globalize_idx(idx))
@@ -851,8 +859,9 @@ class Trainer(object):
             # reuses one compiled program; padded slots get valid=0
             # and fall off the host-side slices
             padded = ids + [ids[-1]] * (group - nb)
-            P, T = self._jit_eval_scan(self.state, cur,
-                                       jnp.asarray(np.stack(padded)))
+            P, T = self._jit_eval_scan(
+                self.state, cur,
+                self._globalize_idx_group(np.stack(padded)))
             return P, T, valids + [0] * (group - nb)
 
         for split_data, idx, valid in self._eval_stream(data_gen, data):

@@ -48,6 +48,31 @@ def host_local_batch_to_global(local_batch, mesh, axis="data"):
     return jax.make_array_from_process_local_data(sharding, local_batch)
 
 
+def host_local_index_group_to_global(idx_group, mesh, axis="data"):
+    """Assemble a [G, B] group of index batches as ONE globally-sharded
+    array (scan axis replicated, batch axis sharded over ``axis``).
+
+    ``idx_group`` is the GLOBAL group, computed identically on every
+    host (the shuffle RNG is seed-deterministic); each process
+    contributes its contiguous [G, B/k] column slice. This is what lets
+    multi-process training dispatch scanned GROUPS of steps — the same
+    dispatch-amortization single-process runs get — instead of
+    assembling per-host index batches one step at a time.
+    """
+    k = jax.process_count()
+    i = jax.process_index()
+    G, B = idx_group.shape
+    if B % k:
+        raise ValueError(
+            "batch of {} rows does not divide over {} processes; pick a "
+            "batch_size that is a multiple of the process count".format(B, k))
+    per = B // k
+    local = np.ascontiguousarray(idx_group[:, i * per:(i + 1) * per])
+    sharding = NamedSharding(mesh, P(None, axis))
+    return jax.make_array_from_process_local_data(sharding, local,
+                                                  global_shape=(G, B))
+
+
 def process_local_rows(n_global, batch_indices):
     """Split a global index batch into this process's contiguous slice.
 
