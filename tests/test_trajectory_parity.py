@@ -115,7 +115,7 @@ def _ref_generators(train_h5, valid_h5, ref_fm):
 
 
 def _fit_ours(tmp_path, train_gen, valid_gen, fm, batch_norm,
-              variant="RAT_m2"):
+              variant="RAT_m2", lr=LR, epochs=EPOCHS, patience=2):
     """Train rat_tpu; return (params_used_for_init, epoch_losses,
     eval_logs, final_lr)."""
     from rat_tpu.engine import Trainer
@@ -123,11 +123,11 @@ def _fit_ours(tmp_path, train_gen, valid_gen, fm, batch_norm,
 
     params = dict(model=variant, model_id=variant + "_traj",
                   model_root=str(tmp_path / "exps"),
-                  batch_size=BATCH, learning_rate=LR, epochs=EPOCHS,
+                  batch_size=BATCH, learning_rate=lr, epochs=epochs,
                   embedding_regularizer="l2(1.e-5)",
                   net_regularizer="l2(1.e-5)",
                   metrics=["AUC", "logloss"], monitor="AUC",
-                  monitor_mode="max", patience=2, every_x_epochs=1,
+                  monitor_mode="max", patience=patience, every_x_epochs=1,
                   save_best_only=True, reduce_lr_on_plateau=True,
                   shuffle=False, verbose=0, seed=3,
                   loss="binary_crossentropy", optimizer="adam",
@@ -158,13 +158,14 @@ def _fit_ours(tmp_path, train_gen, valid_gen, fm, batch_norm,
 
     trainer.evaluate = rec_eval
     trainer.train_one_epoch = rec_epoch
-    trainer.fit(train_gen, validation_data=valid_gen, epochs=EPOCHS)
+    trainer.fit(train_gen, validation_data=valid_gen, epochs=epochs)
     final_lr = float(get_learning_rate(trainer.state.opt_state))
     return trainer, init_params, losses, evals, final_lr
 
 
 def _fit_reference(tmp_path, init_params, spec, lr_spec, train_gen,
-                   valid_gen, ref_fm, batch_norm, variant="RAT_m2"):
+                   valid_gen, ref_fm, batch_norm, variant="RAT_m2",
+                   lr=LR, epochs=EPOCHS, patience=2):
     """Train the live torch reference from the transplanted init;
     return (epoch_losses, eval_logs, final_lr)."""
     from fuxictr.pytorch import models as ref_models
@@ -180,7 +181,7 @@ def _fit_reference(tmp_path, init_params, spec, lr_spec, train_gen,
         y_true, np.clip(y_pred, eps, 1 - eps))
 
     ref = getattr(ref_models, variant)(
-        ref_fm, gpu=-1, learning_rate=LR,
+        ref_fm, gpu=-1, learning_rate=lr,
         dnn_activations="ReLU",
         embedding_regularizer="l2(1.e-5)",
         net_regularizer="l2(1.e-5)",
@@ -189,7 +190,7 @@ def _fit_reference(tmp_path, init_params, spec, lr_spec, train_gen,
         optimizer="adam", loss="binary_crossentropy",
         model_root=str(tmp_path / "ref_exps"),
         metrics=["AUC", "logloss"], monitor="AUC",
-        monitor_mode="max", patience=2, every_x_epochs=1,
+        monitor_mode="max", patience=patience, every_x_epochs=1,
         save_best_only=True, reduce_lr_on_plateau=True,
         verbose=0, task="binary_classification",
         batch_norm=batch_norm, **MODEL_KNOBS)
@@ -200,7 +201,7 @@ def _fit_reference(tmp_path, init_params, spec, lr_spec, train_gen,
         _transplant_variant(ref, variant, init_params, spec, lr_spec)
     # __init__ compiled against the pre-transplant Parameter objects;
     # rebind the optimizer to the transplanted ones
-    ref.compile("adam", loss="binary_crossentropy", lr=LR)
+    ref.compile("adam", loss="binary_crossentropy", lr=lr)
 
     losses, evals = [], []
     orig_eval = ref.evaluate_generator
@@ -219,22 +220,50 @@ def _fit_reference(tmp_path, init_params, spec, lr_spec, train_gen,
 
     ref.evaluate_generator = rec_eval
     ref.train_one_epoch = rec_epoch
-    ref.fit_generator(train_gen, epochs=EPOCHS, validation_data=valid_gen,
+    ref.fit_generator(train_gen, epochs=epochs, validation_data=valid_gen,
                       verbose=0, max_gradient_norm=10.0)
     final_lr = float(ref.optimizer.param_groups[0]["lr"])
     return losses, evals, final_lr
 
 
+def _monitor_events(evals, min_delta=1e-6):
+    """Replay the monitor's decisions over an eval sequence: 'best' when
+    the metric improved past min_delta (checkpoint saved, patience
+    reset), 'stop' otherwise (patience++, LR decayed x0.1 when
+    reduce_lr_on_plateau — base_model.py:153-179 semantics)."""
+    best = -np.inf
+    events = []
+    for e in evals:
+        if e["AUC"] < best + min_delta:
+            events.append("stop")
+        else:
+            best = e["AUC"]
+            events.append("best")
+    return events
+
+
 @pytest.mark.slow
-@pytest.mark.parametrize("variant,batch_norm", [
-    ("RAT_m2", False), ("RAT_m2", True),
+@pytest.mark.parametrize("variant,batch_norm,lr,epochs,patience,decay_recovery", [
+    ("RAT_m2", False, LR, EPOCHS, 2, False),
+    ("RAT_m2", True, LR, EPOCHS, 2, False),
     # VERDICT r3 item 6: m3 (shared W_q, halved heads, averaged
     # branches) is the most divergence-prone head — run it through the
     # full multi-epoch harness, not just single-step parity
-    ("RAT_m3", False),
+    ("RAT_m3", False, LR, EPOCHS, 2, False),
+    # VERDICT r4 item 3: complete the variant matrix
+    ("RAT_m0", False, LR, EPOCHS, 2, False),
+    ("RAT_m1", False, LR, EPOCHS, 2, False),
+    # VERDICT r4 item 3: a run that crosses an LR-plateau DECAY and a
+    # post-decay IMPROVEMENT (the high initial lr oscillates near the
+    # optimum, plateaus, then the decayed lr finds a new best) — the
+    # decay/improve/decay interleaving is where the monitor/LR logic
+    # can silently diverge
+    ("RAT_m2", False, 1e-2, 16, 3, True),
 ])
 def test_training_trajectory_matches_reference(tmp_path, split_files,
-                                               variant, batch_norm):
+                                               variant, batch_norm, lr,
+                                               epochs, patience,
+                                               decay_recovery):
     _import_reference()
     train_h5, valid_h5 = split_files
 
@@ -248,7 +277,8 @@ def test_training_trajectory_matches_reference(tmp_path, split_files,
     # ours first: computes + caches retrieval for both splits
     train_gen, valid_gen = _our_generators(train_h5, valid_h5, fm)
     trainer, init_params, our_losses, our_evals, our_lr = _fit_ours(
-        tmp_path, train_gen, valid_gen, fm, batch_norm, variant)
+        tmp_path, train_gen, valid_gen, fm, batch_norm, variant,
+        lr=lr, epochs=epochs, patience=patience)
 
     ref_fm = _ref_feature_map(_specs(), num_fields=3)
     ref_train, ref_valid = _ref_generators(train_h5, valid_h5, ref_fm)
@@ -258,7 +288,7 @@ def test_training_trajectory_matches_reference(tmp_path, split_files,
     ref_losses, ref_evals, ref_lr = _fit_reference(
         tmp_path, init_params, trainer.model.embedding_spec,
         trainer.model.lr_spec, ref_train, ref_valid, ref_fm, batch_norm,
-        variant)
+        variant, lr=lr, epochs=epochs, patience=patience)
 
     # identical run shape: same early-stop epoch, same eval count
     assert len(our_losses) == len(ref_losses), (our_losses, ref_losses)
@@ -285,5 +315,13 @@ def test_training_trajectory_matches_reference(tmp_path, split_files,
     # of final lr pins the same number of plateau events on both sides)
     assert np.isclose(our_lr, ref_lr, rtol=1e-6), (our_lr, ref_lr)
     # ... and the run genuinely exercised a plateau or an early stop
-    assert our_lr < LR * 0.99 or len(our_losses) < EPOCHS, \
+    assert our_lr < lr * 0.99 or len(our_losses) < epochs, \
         "hyperparameters no longer trigger a plateau/early-stop event"
+    if decay_recovery:
+        # this parametrization must cross an LR decay AND a post-decay
+        # new-best (patience reset + checkpoint) — on BOTH sides, since
+        # the per-eval metrics agree above
+        events = _monitor_events(our_evals)
+        first_stop = events.index("stop")
+        assert "best" in events[first_stop:], (
+            "no post-decay improvement; trajectory: %s" % events)
