@@ -75,14 +75,15 @@ def _gather_batch(data, idx, dedup_neighbors=False):
     ``neighbor_padding="mask"`` mode, see DataGenerator).
 
     ``dedup_neighbors`` routes the pool-row gather through
-    unique-ids + inverse-gather: neighbors repeat heavily within a batch
-    (SURVEY §7.3), and a sorted-unique id vector is the traffic lever
-    for the row-sharded all-to-all lookup (and gives the single-chip
-    gather better HBM locality). Static shapes force the unique buffer
-    to full [B*K] capacity, so outputs are IDENTICAL by construction
-    (parity-tested on the 8-device CPU mesh); whether the collective
-    schedule actually wins is a one-flag A/B on real multi-chip
-    hardware. Off by default.
+    unique-ids + inverse-gather. MEASURED NEGATIVE and kept only for
+    experimentation (r5, scripts/dedup_ab.py --hlo on the 4x2 virtual
+    mesh): the compiled step's collective profile with the flag off is
+    3 all-reduces (grad psum) and the pool gathers are LOCAL — the pool
+    arrays are replicated, and static shapes force the unique buffer to
+    full [B*K] capacity, so dedup cannot shrink any sharded operand.
+    With the flag on, the sort/unique machinery ADDS 2 all-gathers + 1
+    all-reduce and ~8% more HLO. Outputs are identical by construction
+    (parity-tested on the 8-device CPU mesh). Off by default.
     """
     Xt = data["tokens"][idx]
     yt = data["labels"][idx]
