@@ -1,145 +1,25 @@
 """One-line TPU health probe for the shared-tunnel chip.
 
-Two distinct degradation modes have been observed on this environment
-(BENCH_RESULTS.md "Variance note"); this probe separates them in ~20 s
-so a poisoned benchmark number is recognizable before it is recorded:
-
-- LINK degradation: host<->device round-trip inflates (ms -> seconds),
-  bulk uploads crawl. Device compute is unaffected; scanned/grouped
-  dispatch programs still run at full rate.
-- DEVICE-SHARING degradation: a fixed ~0.25-1.2 ms tax appears on
-  every kernel touching MB-scale buffers (an 8 MB and a 64 MB
-  elementwise pass cost the SAME ~1.2 ms), and large matmuls run at
-  ~1/5 peak. Programs with many medium-size kernels (the train step:
-  ~20x slowdown) suffer far more than single-kernel FLOP benchmarks.
-  Nothing dispatched from this host can mask this mode.
-
-Every device rate is measured as a MARGINAL cost — the time difference
-between a long and a short version of the same program — so the
-(wildly variable) link round-trip cancels out instead of poisoning the
-numbers.
+Thin CLI over rat_tpu.cli.chip_health (the probe core moved into the
+package in r5 so bench.py can stamp every capture with chip state; see
+that module for the three degradation modes and the marginal-cost
+measurement method).
 
 Usage: python scripts/chip_health.py  ->  one JSON line.
-`healthy` means both modes are absent and benchmark numbers are
+`healthy` means all modes are absent and benchmark numbers are
 representative.
 """
 
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-_CALL_SEQ = [0]
-
-
-def _sync_time(fn, x):
-    """Wall time of one call, hard-synced by a scalar device_get. A
-    fresh salt scalar goes in every call: this remote runtime serves
-    REPEATED IDENTICAL executions (and repeated fetches of the same
-    array) from a cache, which would time the cache, not the chip."""
-    import jax
-    import jax.numpy as jnp
-    _CALL_SEQ[0] += 1
-    salt = jnp.float32(1.0 + 1e-7 * _CALL_SEQ[0])
-    t0 = time.perf_counter()
-    r = fn(x, salt)
-    float(jax.device_get(jnp.ravel(r)[0]))
-    return time.perf_counter() - t0
-
-
 def main():
-    import jax
-    import jax.numpy as jnp
-
-    out = {"platform": jax.default_backend()}
-
-    # link probe: best-of-5 scalar round-trips (healthy: ~1-30 ms);
-    # a fresh scalar each time, same caching caveat as _sync_time
-    rts = []
-    for i in range(5):
-        s = jnp.float32(1.0) + jnp.float32(i)
-        jax.block_until_ready(s)
-        t0 = time.perf_counter()
-        float(jax.device_get(s))
-        rts.append(time.perf_counter() - t0)
-    out["roundtrip_ms"] = round(min(rts) * 1e3, 1)
-
-    # device probe A: marginal per-kernel cost on MB-scale buffers.
-    # Barrier-separated 8 MB passes inside one execution; (200-pass -
-    # 20-pass) / 180 cancels link latency. Healthy ~0.02 ms/pass
-    # (bandwidth), sharing mode ~1.2 ms/pass.
-    x0 = jnp.ones((2 * 1024 * 1024,), jnp.float32)
-
-    def passes(n):
-        def fn(x, salt):
-            def body(c, _):
-                (c,) = jax.lax.optimization_barrier((c * salt,))
-                return c, None
-            return jax.lax.scan(body, x, jnp.arange(n))[0]
-        return jax.jit(fn)
-
-    f20, f200 = passes(20), passes(200)
-    _sync_time(f20, x0), _sync_time(f200, x0)          # compile
-    t20 = min(_sync_time(f20, x0) for _ in range(2))
-    t200 = min(_sync_time(f200, x0) for _ in range(2))
-    out["kernel_tax_ms"] = round(max((t200 - t20) / 180 * 1e3, 0.0), 3)
-
-    # device probe B: marginal MXU rate, (9-matmul - 1-matmul) / 8.
-    # Healthy v5e at default precision: > 100 TFLOPS; sharing: tens.
-    a = jnp.ones((8192, 8192), jnp.float32)
-
-    def chain(n):
-        def fn(x, salt):
-            y = x * salt
-            for _ in range(n):
-                y = y @ x
-            return y
-        return jax.jit(fn)
-
-    g1, g9 = chain(1), chain(9)
-    _sync_time(g1, a), _sync_time(g9, a)               # compile
-    t1 = min(_sync_time(g1, a) for _ in range(2))
-    t9 = min(_sync_time(g9, a) for _ in range(2))
-    dt = max((t9 - t1) / 8, 1e-9)
-    out["matmul_tflops"] = round(2 * 8192 ** 3 / dt / 1e12, 1)
-
-    # device probe C: the model's own attention at RAT grid shapes.
-    # A third degradation mode was observed (2026-08-20, xplane trace):
-    # small-dim relayout copies around the attention ran ~30x slow
-    # (~215 us each vs ~6 us in the r3 profile) while big matmuls and
-    # the BM25 scan held full rate — making bench.py read ~213k
-    # examples/s on a chip that probes "fast" on FLOP tests. Synthetic
-    # swapaxes probes get layout-elided by the compiler, so this probe
-    # times the repo's actual MHSA (which pins the offending layouts).
-    from rat_tpu.nn.layers import _mhsa
-    q0 = jnp.ones((24576, 4, 10), jnp.float32)
-
-    def attn(n):
-        def fn(x, salt):
-            def body(c, _):
-                (c2,) = jax.lax.optimization_barrier(
-                    (_mhsa(c * salt, c, c, heads=2, scale=0.3),))
-                return c2, None
-            return jax.lax.scan(body, x, jnp.arange(n))[0]
-        return jax.jit(fn)
-
-    a10, a60 = attn(10), attn(60)
-    _sync_time(a10, q0), _sync_time(a60, q0)           # compile
-    tA = min(_sync_time(a10, q0) for _ in range(2))
-    tB = min(_sync_time(a60, q0) for _ in range(2))
-    out["mhsa_us"] = round(max((tB - tA) / 50 * 1e6, 0.0), 1)
-
-    # mhsa healthy ~15 us at these shapes; the relayout-degraded state
-    # measures ~60+ us here while the full model step runs 20-40x slow
-    out["link_ok"] = out["roundtrip_ms"] < 300
-    out["device_ok"] = (out["kernel_tax_ms"] < 0.15
-                        and out["matmul_tflops"] > 80
-                        and out["mhsa_us"] < 40)
-    out["healthy"] = bool(out["link_ok"] and out["device_ok"])
-    print(json.dumps(out))
+    from rat_tpu.cli.chip_health import collect
+    print(json.dumps(collect()))
 
 
 if __name__ == "__main__":
