@@ -869,3 +869,84 @@ def test_bm25_exact_match_flat_branch_matches_reference_v4():
     np.testing.assert_array_equal(np.asarray(ref.values), ours.values)
     np.testing.assert_array_equal(np.asarray(ref.indices), ours.indices)
     np.testing.assert_array_equal(np.asarray(ref.lens), ours.lens)
+
+
+def test_rat_m2_forward_matches_reference_sequence_field():
+    """KKBox-style input: a multi-column SEQUENCE feature (max_len span,
+    padding_idx=vocab-1, MaskedAveragePooling — kkbox_x1.yaml:10-13)
+    through the full RAT_m2 forward vs the live reference. Covers the
+    packed-table sequence pooling (nn/embedding.py) and the wide
+    tower's 1-dim sequence path, which the categorical-only parity
+    tests above cannot see."""
+    _import_reference()
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from fuxictr.pytorch.models import RAT_m2
+
+    from rat_tpu.features import FeatureMap
+    from rat_tpu.models import build_model
+
+    max_len, seq_vocab = 3, 9
+    specs = {
+        "user_id": {"source": "", "type": "categorical", "vocab_size": 23,
+                    "index": 0},
+        "item_id": {"source": "", "type": "categorical", "vocab_size": 17,
+                    "index": 1},
+        "genres": {"source": "", "type": "sequence", "vocab_size": seq_vocab,
+                   "index": [2, 3, 4], "max_len": max_len,
+                   "padding_idx": seq_vocab - 1,
+                   "encoder": "MaskedAveragePooling"},
+    }
+    fm = FeatureMap("parity_seq", ".")
+    fm.feature_specs.update(specs)
+    fm.num_fields = 3
+    fm.num_features = 23 + 17 + seq_vocab
+    fm.input_length = 2 + max_len
+
+    K, depth = 4, 2
+    model_params = {
+        "model": "RAT_m2", "embedding_dim": 10,
+        "dnn_hidden_units": [32, 16], "dnn_activations": "relu",
+        "num_heads": 2, "dim_head": 10, "depth": depth, "scale_dim": 4,
+        "dropout": 0.0, "emb_dropout": 0.0, "net_dropout": 0.0,
+        "batch_norm": False, "use_wide": True,
+    }
+    model = build_model(fm, model_params)
+
+    rng = np.random.RandomState(5)
+    B = 6
+    X = np.concatenate([
+        rng.randint(0, 23, (B, 1 + K, 1)),
+        rng.randint(0, 17, (B, 1 + K, 1)),
+        # sequence span includes padding ids (vocab-1) like real rows
+        rng.randint(0, seq_vocab, (B, 1 + K, max_len)),
+    ], axis=-1).astype(np.int64)
+    X[:, :, -1] = seq_vocab - 1   # every row ends padded (post-padding)
+    y = rng.randint(0, 2, (B, 1 + K)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(3), jnp.asarray(X),
+                           jnp.asarray(y), train=False)
+    ours = np.asarray(model.apply(variables, jnp.asarray(X), jnp.asarray(y),
+                                  train=False)["y_pred"])[:, 0]
+
+    ref_fm = _ref_feature_map(specs, num_fields=3)
+    ref_fm.input_length = 2 + max_len
+    ref = RAT_m2(ref_fm, gpu=-1, embedding_dim=10,
+                 dnn_hidden_units=[32, 16], dnn_activations="ReLU",
+                 num_heads=2, dim_head=10, depth=depth, scale_dim=4,
+                 dropout=0.0, emb_dropout=0.0, net_dropout=0.0,
+                 batch_norm=False, use_wide=True,
+                 retrieval_augmented=True,
+                 retrieval_configs={"topK": K, "label_wise": False},
+                 optimizer="adam", loss="binary_crossentropy",
+                 model_root="/tmp/parity_exps/", metrics=["AUC"], verbose=0,
+                 task="binary_classification")
+    ref.eval()
+    _transplant_rat_m2(ref, variables["params"], model.embedding_spec,
+                       model.lr_spec, depth)
+
+    with torch.no_grad():
+        out = ref([torch.from_numpy(X), torch.from_numpy(y),
+                   torch.zeros(B, K), torch.zeros(B, dtype=torch.int64)])
+    theirs = out["y_pred"].numpy()[:, 0]
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
