@@ -48,6 +48,14 @@ def _collect():
     import jax.numpy as jnp
 
     out = {"platform": jax.default_backend()}
+    if out["platform"] != "tpu":
+        # the device probes (8192^2 matmul chains, MHSA scans) and every
+        # threshold below are v5e-calibrated; on CPU/GPU they burn
+        # minutes to produce meaningless numbers — stamp the platform
+        # and skip
+        out["healthy"] = None
+        out["note"] = "device probes are TPU-only; skipped"
+        return out
 
     # link probe: best-of-5 scalar round-trips (healthy: ~1-30 ms)
     rts = []

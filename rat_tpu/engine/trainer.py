@@ -198,6 +198,13 @@ class Trainer(object):
         self._learning_rate = params.get("learning_rate", 1e-3)
         self._max_gradient_norm = params.get("max_gradient_norm", 10.)
         self._batch_norm = params.get("batch_norm", False)
+        if params.get("neighbor_padding", "wrap") not in ("wrap", "mask"):
+            # an unknown value silently training with the wrap bug the
+            # mask mode exists to correct would be the worst failure
+            raise ValueError(
+                "neighbor_padding={!r} is not supported (use 'wrap' for "
+                "reference bug-parity or 'mask' for corrected "
+                "semantics)".format(params["neighbor_padding"]))
         self._seed = params.get("seed", 2021)
         self._rng = jax.random.PRNGKey(self._seed)
         # dedicated host RNG for batch/block shuffling: batch order must
@@ -383,6 +390,7 @@ class Trainer(object):
                 "encoder_impl=auto probe winner: %s (B=%d, t=%d, "
                 "probe cost %.1fs)", winner, B, t,
                 time.perf_counter() - tic)
+        self._probe_resolved_shape = (B, t)
         if winner != "stream":
             self.model = build_model(self.feature_map,
                                      dict(self.params, encoder_impl=winner))
@@ -576,6 +584,18 @@ class Trainer(object):
             self.init_state(np.zeros((2, 1 + k, L), np.int32),
                             np.zeros((2, 1 + k), np.float32))
         self._probe_batch = getattr(train_gen, "batch_size", None)
+        if (self._jit_train_step is not None
+                and getattr(self, "_probe_resolved_shape", None) is not None
+                and self._probe_resolved_shape != self._encoder_probe_shape()):
+            # the autotune winner was probed at a different grid shape
+            # (e.g. evaluate()/predict() built the steps before fit()
+            # knew the generator's batch size): re-resolve at the real
+            # shape and rebuild — winners are cached per shape, so a
+            # matching earlier probe costs nothing
+            self._encoder_impl_resolved = False
+            self._probe_resolved_shape = None  # re-set only if a probe runs
+            self.model = build_model(self.feature_map, self.params)
+            self._jit_train_step = None
         if self._jit_train_step is None:
             self._build_steps()
         self.valid_gen = validation_data

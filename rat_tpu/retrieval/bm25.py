@@ -683,7 +683,11 @@ def _exact_match_retrieval(db_np_data, qry_np_data, exact_match_col_indices,
         group = max(1, int(_EXM_MAX_SCORES_PER_DISPATCH / max(per_batch, 1)))
         for lo in range(0, len(batches), group):
             window = batches[lo:lo + group]
-            nb = len(window)
+            if lo > 0 and len(window) < group:
+                # pad the trailing window to reuse the compiled program
+                # (same reason as the main scan's mega-batch padding);
+                # padded entries carry no metas so collect skips them
+                window = window + [window[-1]] * (group - len(window))
             out = _exm_scan_topk_batched(
                 db_sorted_dev,
                 jnp.asarray(np.stack([b[0] for b in window])),
@@ -694,6 +698,7 @@ def _exact_match_retrieval(db_np_data, qry_np_data, exact_match_col_indices,
                 dense_idf=dense_idf)
             if pending is not None:
                 collect(pending)
-            pending = (out, [(b[3], b[4]) for b in window])
+            pending = (out, [(b[3], b[4])
+                             for b in batches[lo:lo + group]])
     collect(pending)
     logging.debug("exact-match retrieval done for %d queries", Q)

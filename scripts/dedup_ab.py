@@ -34,18 +34,6 @@ COLLECTIVES = ("all-to-all", "all-gather", "all-reduce",
                "collective-permute", "reduce-scatter")
 
 
-def _build(dedup, mesh=None, batch_size=1024):
-    import jax.numpy as jnp
-    import numpy as np
-
-    from rat_tpu.cli.benchmark import _bench_setup
-    os.environ["RAT_TPU_DEDUP_NEIGHBORS"] = "1" if dedup else "0"
-    if not dedup:
-        os.environ.pop("RAT_TPU_DEDUP_NEIGHBORS", None)
-    trainer, data, idx, B = _bench_setup("mltag", batch_size=batch_size)
-    return trainer, data, idx, B
-
-
 def _shape_bytes(shape_str):
     """bytes of an HLO shape string like 'f32[64,5,3]{2,1,0}'."""
     m = re.match(r"(\w+)\[([\d,]*)\]", shape_str)
@@ -62,6 +50,13 @@ def _shape_bytes(shape_str):
 
 
 def hlo_audit():
+    # the audit needs an 8-virtual-device CPU platform; both knobs must
+    # be set before jax initializes (the script defers all jax imports
+    # to function bodies for exactly this reason)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -143,11 +138,9 @@ def hlo_audit():
 def time_ab(steps=256, group=64):
     import jax
     import jax.numpy as jnp
-    import numpy as np
     rates = {}
     for dedup in (False, True):
         from rat_tpu.cli.benchmark import _bench_setup
-        import rat_tpu.cli.benchmark as bm
         if dedup:
             os.environ["RAT_AB_OVERRIDE"] = json.dumps(
                 {"dedup_neighbors": True})

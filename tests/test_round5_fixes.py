@@ -100,3 +100,58 @@ def test_ab_override_stamped_into_results(monkeypatch):
     assert "ab_override" not in _tag_ab_override({"metric": "m"})
     monkeypatch.setenv("RAT_AB_OVERRIDE", '{"depth": 1}')
     assert _tag_ab_override({"metric": "m"})["ab_override"] == '{"depth": 1}'
+
+
+def test_neighbor_padding_unknown_value_rejected(tiny_feature_map,
+                                                 demo_params, tmp_path):
+    with pytest.raises(ValueError, match="neighbor_padding"):
+        _trainer(tiny_feature_map, demo_params, tmp_path,
+                 neighbor_padding="masked")
+
+
+def test_probe_shape_mismatch_rebuilds_steps(tiny_feature_map, demo_params,
+                                             tmp_path):
+    """evaluate()/predict() before fit() must not latch the autotune
+    winner at the wrong grid shape: fit() re-resolves and rebuilds when
+    the probed shape differs from the generator's actual one."""
+    gen = FakeGen(n=96, K=2, batch_size=48, shuffle=False)
+    tr = _trainer(tiny_feature_map, demo_params, tmp_path)
+    tr.init_state(np.zeros((2, 3, 3), np.int32), np.zeros((2, 3), np.float32))
+    tr.predict(gen)                       # builds the steps pre-fit
+    first_step = tr._jit_train_step
+    # simulate an accelerator probe having resolved at the default shape
+    tr._probe_resolved_shape = (4096, 3)
+    tr.fit(gen, validation_data=gen, epochs=1)
+    assert tr._jit_train_step is not first_step
+    # stale shape cleared (re-set only when a probe actually runs, which
+    # the CPU backend skips) so the rebuild cannot loop
+    assert tr._probe_resolved_shape in (None, tr._encoder_probe_shape())
+    # and a matching shape does NOT rebuild
+    second_step = tr._jit_train_step
+    tr._probe_resolved_shape = tr._encoder_probe_shape()
+    tr.fit(gen, validation_data=gen, epochs=1)
+    assert tr._jit_train_step is second_step
+
+
+def test_exm_trailing_window_padding_matches_unpadded(rng, monkeypatch):
+    """Tiny per-dispatch budget forces many scored windows incl. a
+    padded trailing one; results must equal the single-dispatch run."""
+    import rat_tpu.retrieval.bm25 as bm25
+    db = np.stack([rng.randint(0, 3, 400),
+                   rng.randint(0, 50, 400),
+                   rng.randint(0, 40, 400)], axis=1)
+    q = db[rng.randint(0, 400, 60)]
+    kw = dict(exact_match_col_indices=[0], qry_batch_size=8, topK=4)
+    ref = bm25.bm25_topk_retrieval(db, q, **kw)
+    monkeypatch.setattr(bm25, "_EXM_MAX_SCORES_PER_DISPATCH", 3 * 8 * 256.0)
+    forced = bm25.bm25_topk_retrieval(db, q, **kw)
+    np.testing.assert_array_equal(ref.indices, forced.indices)
+    np.testing.assert_array_equal(ref.values, forced.values)
+    np.testing.assert_array_equal(ref.lens, forced.lens)
+
+
+def test_chip_health_skips_device_probes_off_tpu():
+    from rat_tpu.cli.chip_health import collect
+    out = collect()
+    assert out["platform"] != "tpu"
+    assert out["healthy"] is None and "note" in out
