@@ -950,3 +950,100 @@ def test_rat_m2_forward_matches_reference_sequence_field():
                    torch.zeros(B, K), torch.zeros(B, dtype=torch.int64)])
     theirs = out["y_pred"].numpy()[:, 0]
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_rat_m2_gradients_match_reference_sequence_field():
+    """Backward parity through the sequence pooling path: the pooled
+    span's gradient fans back to every non-padding token row, and the
+    padding row (torch padding_idx contract = no gradient) must stay
+    zero in our packed table too."""
+    _import_reference()
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from fuxictr.pytorch.models import RAT_m2
+
+    from rat_tpu.features import FeatureMap
+    from rat_tpu.models import build_model
+
+    max_len, seq_vocab = 3, 9
+    specs = {
+        "user_id": {"source": "", "type": "categorical", "vocab_size": 23,
+                    "index": 0},
+        "item_id": {"source": "", "type": "categorical", "vocab_size": 17,
+                    "index": 1},
+        "genres": {"source": "", "type": "sequence", "vocab_size": seq_vocab,
+                   "index": [2, 3, 4], "max_len": max_len,
+                   "padding_idx": seq_vocab - 1,
+                   "encoder": "MaskedAveragePooling"},
+    }
+    fm = FeatureMap("parity_gs", ".")
+    fm.feature_specs.update(specs)
+    fm.num_fields = 3
+    fm.num_features = 23 + 17 + seq_vocab
+    fm.input_length = 2 + max_len
+
+    K, depth = 4, 2
+    model_params = {
+        "model": "RAT_m2", "embedding_dim": 10,
+        "dnn_hidden_units": [32, 16], "dnn_activations": "relu",
+        "num_heads": 2, "dim_head": 10, "depth": depth, "scale_dim": 4,
+        "dropout": 0.0, "emb_dropout": 0.0, "net_dropout": 0.0,
+        "batch_norm": False, "use_wide": True,
+    }
+    model = build_model(fm, model_params)
+    rng = np.random.RandomState(23)
+    B = 8
+    X = np.concatenate([
+        rng.randint(0, 23, (B, 1 + K, 1)),
+        rng.randint(0, 17, (B, 1 + K, 1)),
+        rng.randint(0, seq_vocab, (B, 1 + K, max_len)),
+    ], axis=-1).astype(np.int64)
+    X[:, :, -1] = seq_vocab - 1
+    y = rng.randint(0, 2, (B, 1 + K)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(9), jnp.asarray(X),
+                           jnp.asarray(y), train=False)
+
+    def loss_fn(params):
+        out = model.apply({"params": params}, jnp.asarray(X),
+                          jnp.asarray(y), train=False)
+        p = jnp.clip(out["y_pred"][:, 0], 1e-7, 1 - 1e-7)
+        t = out["y_true"][:, 0]
+        return -jnp.mean(t * jnp.log(p) + (1 - t) * jnp.log1p(-p))
+
+    g = jax.grad(loss_fn)(variables["params"])
+
+    ref_fm = _ref_feature_map(specs, num_fields=3)
+    ref_fm.input_length = 2 + max_len
+    ref = RAT_m2(ref_fm, gpu=-1, embedding_dim=10,
+                 dnn_hidden_units=[32, 16], dnn_activations="ReLU",
+                 num_heads=2, dim_head=10, depth=depth, scale_dim=4,
+                 dropout=0.0, emb_dropout=0.0, net_dropout=0.0,
+                 batch_norm=False, use_wide=True, retrieval_augmented=True,
+                 retrieval_configs={"topK": K, "label_wise": False},
+                 optimizer="adam", loss="binary_crossentropy",
+                 model_root="/tmp/parity_exps/", metrics=["AUC"], verbose=0,
+                 task="binary_classification")
+    ref.train()
+    _transplant_rat_m2(ref, variables["params"], model.embedding_spec,
+                       model.lr_spec, depth)
+    out = ref([torch.from_numpy(X), torch.from_numpy(y),
+               torch.zeros(B, K), torch.zeros(B, dtype=torch.int64)])
+    pred = torch.clamp(out["y_pred"][:, 0], 1e-7, 1 - 1e-7)
+    t = out["y_true"][:, 0]
+    loss = -(t * torch.log(pred) + (1 - t) * torch.log1p(-pred)).mean()
+    loss.backward()
+
+    packed_g = np.asarray(g["embedding_layer"]["table"])
+    ref_tables = ref.embedding_layer.embedding_layer.embedding_layer
+    for f, off in zip(model.embedding_spec.fields,
+                      model.embedding_spec.token_offsets):
+        theirs_g = ref_tables[f.name].weight.grad.numpy()
+        np.testing.assert_allclose(packed_g[off: off + len(theirs_g)],
+                                   theirs_g, atol=2e-5, rtol=1e-4,
+                                   err_msg=f.name)
+    # padding row of the sequence field: exactly zero gradient both sides
+    seq_off = model.embedding_spec.token_offsets[-1]
+    assert np.all(packed_g[seq_off + seq_vocab - 1] == 0.0)
+    assert np.all(ref_tables["genres"].weight.grad.numpy()[seq_vocab - 1]
+                  == 0.0)
