@@ -64,6 +64,10 @@ mesh = make_mesh(n_devices=8, model_axis_size=2)
 params = g._model_params(model_root='/tmp/dist_exps_%d/' % {nproc},
                          patience=100, train_scan_batches={tsb})
 tr = Trainer(fm, params, mesh=mesh)
+if {tsb}:
+    # grouped arm: also exercise the multi-process EVAL scan grouping
+    # (4 batches >= 2*group activates the scanned dispatch path)
+    tr._EVAL_SCAN_BATCHES = 2
 tr.fit(gen, validation_data=gen, epochs=2)
 metrics = tr.evaluate(gen)
 # exercise the checkpoint round-trip (rank 0 writes, all ranks load)
