@@ -226,6 +226,18 @@ class Trainer(object):
     def _multiprocess(self):
         return jax.process_count() > 1
 
+    #: max bytes per single host->device transfer; GB-scale single
+    #: device_puts have wedged the remote tunnel mid-transfer (observed
+    #: r5 on the full Tmall valid split: the tunnel proxy stopped
+    #: draining with the client 95% rwnd-limited and never recovered).
+    #: Row-chunked puts bound each transfer and give the runtime a sync
+    #: point per chunk. RAT_TPU_UPLOAD_CHUNK_MB overrides; 0 disables.
+    _UPLOAD_CHUNK_BYTES = 128 * 1024 * 1024
+
+    def _upload_chunk_bytes(self):
+        mb = os.environ.get("RAT_TPU_UPLOAD_CHUNK_MB")
+        return int(mb) * 1024 * 1024 if mb else self._UPLOAD_CHUNK_BYTES
+
     def _to_device(self, arr, sharding=None):
         """Upload a host array; under multi-process runs every device
         array must be a GLOBAL array assembled from process-local data
@@ -239,6 +251,19 @@ class Trainer(object):
             # than concatenate over processes
             return jax.make_array_from_process_local_data(
                 sharding, arr, global_shape=arr.shape)
+        chunk = self._upload_chunk_bytes()
+        if sharding is None and chunk and arr.ndim >= 1 \
+                and arr.nbytes > chunk:
+            row_bytes = max(arr.nbytes // max(arr.shape[0], 1), 1)
+            rows = max(chunk // row_bytes, 1)
+            parts = []
+            for lo in range(0, arr.shape[0], rows):
+                part = jnp.asarray(arr[lo:lo + rows])
+                jax.block_until_ready(part)   # bound in-flight transfer
+                parts.append(part)
+            logging.info("chunked upload: %.0f MB in %d parts",
+                         arr.nbytes / 1e6, len(parts))
+            return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
         return jnp.asarray(arr) if sharding is None \
             else jax.device_put(arr, sharding)
 
