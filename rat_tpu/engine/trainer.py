@@ -68,6 +68,16 @@ def get_loss_fn(loss):
     return loss  # callable
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _chunk_write(buf, part, lo):
+    """In-place (donated) row-slab write for chunked uploads: peak HBM
+    is the destination buffer plus ONE chunk, not buffer + all chunks +
+    a concatenated copy (the concatenate variant OOMed the shared chip
+    at Tmall scale)."""
+    start = (lo,) + (0,) * (buf.ndim - 1)
+    return jax.lax.dynamic_update_slice(buf, part, start)
+
+
 def _gather_batch(data, idx, dedup_neighbors=False):
     """Assemble the [B, 1+K, L] grid from device-resident split arrays.
     Returns (X tokens, y labels, X_num or None, nbr_mask or None —
@@ -256,14 +266,17 @@ class Trainer(object):
                 and arr.nbytes > chunk:
             row_bytes = max(arr.nbytes // max(arr.shape[0], 1), 1)
             rows = max(chunk // row_bytes, 1)
-            parts = []
+            buf = jnp.zeros(arr.shape, arr.dtype)
+            n = 0
             for lo in range(0, arr.shape[0], rows):
                 part = jnp.asarray(arr[lo:lo + rows])
                 jax.block_until_ready(part)   # bound in-flight transfer
-                parts.append(part)
+                buf = _chunk_write(buf, part, jnp.int32(lo))
+                n += 1
+            jax.block_until_ready(buf)
             logging.info("chunked upload: %.0f MB in %d parts",
-                         arr.nbytes / 1e6, len(parts))
-            return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+                         arr.nbytes / 1e6, n)
+            return buf
         return jnp.asarray(arr) if sharding is None \
             else jax.device_put(arr, sharding)
 
