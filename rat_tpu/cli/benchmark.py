@@ -318,10 +318,13 @@ def main():
                                  "retrieval_exm", "scaling", "suite"])
     parser.add_argument("--devices", type=int, default=8)
     parser.add_argument("--shape", default="mltag", choices=sorted(SHAPES))
+    parser.add_argument("--steps", type=int, default=0,
+                        help="train-bench steps override (0 = default)")
     args = parser.parse_args()
+    tsteps = dict(steps=args.steps) if args.steps else {}
     benches = {
-        "train": lambda: bench_train(False, shape=args.shape),
-        "train_pallas": lambda: bench_train(True, shape=args.shape),
+        "train": lambda: bench_train(False, shape=args.shape, **tsteps),
+        "train_pallas": lambda: bench_train(True, shape=args.shape, **tsteps),
         "eval": lambda: bench_eval(shape=args.shape),
         "retrieval": bench_retrieval,
         "retrieval_exm": bench_retrieval_exm,
